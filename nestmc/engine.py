@@ -1,0 +1,227 @@
+"""Chain orchestration (L5): warmup + sampling as jit-compiled chunked scans.
+
+Design (BASELINE.json:5): exactly two compiled hot programs — an adapting
+warmup segment and a frozen sampling segment, each a ``lax.scan`` over
+sweeps with the full KernelState as carry. The host sees data twice (initial
+upload, final summaries); between draws there are zero host round-trips.
+Segments (outer Python loop over scans) give natural checkpoint/log
+boundaries and bound the draw-buffer memory.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import replace as dc_replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from nestmc.checkpoint import save_checkpoint
+from nestmc.config import SamplerConfig
+from nestmc.kernels.gibbs import make_sweep
+from nestmc.kernels.state import KernelState, init_kernel_state
+from nestmc.model import ModelSpec
+from nestmc.parallel.sharding import make_mesh, shard_inputs
+from nestmc.posterior import Posterior
+from nestmc.utils.logging import get_logger
+
+log = get_logger()
+
+
+def _collector(model: ModelSpec, cfg: SamplerConfig):
+    """position -> dict of draw slices to retain, per RunConfig.collect."""
+    spec = cfg.run.collect
+
+    def collect(position):
+        if spec is None:
+            return dict(position)
+        out = {}
+        for name, k in spec.items():
+            v = position[name]
+            out[name] = v if k is None else v[:, :k]
+        return out
+
+    return collect
+
+
+def _segment_lengths(total: int, segment: int):
+    segment = max(1, min(segment, total)) if total else 0
+    out = []
+    done = 0
+    while done < total:
+        out.append(min(segment, total - done))
+        done += out[-1]
+    return out
+
+
+def build_step_fns(model: ModelSpec, cfg: SamplerConfig):
+    """The two jitted segment programs (warmup, sampling)."""
+    sweep = make_sweep(model, cfg)
+    collect = _collector(model, cfg)
+    thin = max(1, cfg.run.thin)
+    donate = (0,) if cfg.sharding.donate_carry else ()
+
+    @partial(jax.jit, static_argnames=("length",), donate_argnums=donate)
+    def warmup_segment(carry: KernelState, data, length: int) -> KernelState:
+        def body(c, _):
+            return sweep(c, data, adapt=True), None
+
+        return jax.lax.scan(body, carry, None, length=length)[0]
+
+    @partial(jax.jit, static_argnames=("length",), donate_argnums=donate)
+    def sample_segment(carry: KernelState, data, length: int):
+        def one_draw(c, _):
+            if thin == 1:
+                c = sweep(c, data, adapt=False)
+            else:
+                c = jax.lax.fori_loop(
+                    0, thin, lambda _, s: sweep(s, data, adapt=False), c
+                )
+            return c, collect(c.position)
+
+        carry, draws = jax.lax.scan(one_draw, carry, None, length=length)
+        # (draws, chains, ...) -> (chains, draws, ...)
+        draws = jax.tree_util.tree_map(
+            lambda a: jnp.swapaxes(a, 0, 1), draws
+        )
+        return carry, draws
+
+    return warmup_segment, sample_segment
+
+
+def _accept_rates(state: KernelState, sweeps: int):
+    return {
+        k: v / max(sweeps, 1) for k, v in state.accept_sum.items()
+    }
+
+
+def _reset_accept(state: KernelState) -> KernelState:
+    zeros = {
+        k: jnp.zeros_like(v) for k, v in state.accept_sum.items()
+    }
+    return dc_replace(state, accept_sum=zeros)
+
+
+def _maybe_checkpoint(cfg: SamplerConfig, state, phase, seg_idx, extra=None):
+    rc = cfg.run
+    if not rc.checkpoint_dir or rc.checkpoint_every <= 0:
+        return
+    if (seg_idx + 1) % rc.checkpoint_every != 0:
+        return
+    meta = {"phase": phase, "segment": seg_idx + 1, "config": cfg.to_dict()}
+    if extra:
+        meta.update(extra)
+    tag = f"{phase}_{seg_idx + 1:06d}"
+    save_checkpoint(rc.checkpoint_dir, tag, state, meta)
+    log.info("checkpoint saved: %s/%s", rc.checkpoint_dir, tag)
+
+
+def sample(
+    model: ModelSpec,
+    data,
+    cfg: SamplerConfig | None = None,
+    key: jax.Array | None = None,
+    init_position: dict | None = None,
+    init_state: KernelState | None = None,
+    skip_warmup: bool = False,
+) -> Posterior:
+    """Run the sampler end to end; returns a :class:`Posterior`.
+
+    ``init_state`` (e.g. a loaded checkpoint carry) overrides fresh
+    initialization; ``skip_warmup`` resumes directly in the sampling phase
+    with whatever scales the carry holds.
+    """
+    cfg = cfg or SamplerConfig()
+    rc = cfg.run
+    if key is None:
+        key = jax.random.key(rc.seed)
+
+    t_setup = time.perf_counter()
+    mesh = make_mesh(cfg)
+    if init_state is not None:
+        state = init_state
+    else:
+        state = init_kernel_state(model, cfg, key, data, init_position)
+    state, data = shard_inputs(state, data, model, cfg, mesh)
+    warmup_segment, sample_segment = build_step_fns(model, cfg)
+    timings = {"setup_s": time.perf_counter() - t_setup}
+
+    # ---- warmup (adapting) ----
+    warm_rates = {k: jnp.zeros_like(v) for k, v in state.accept_sum.items()}
+    t_w = time.perf_counter()
+    if not skip_warmup and rc.warmup > 0:
+        t_c = time.perf_counter()
+        compiled = warmup_segment.lower(
+            state, data, length=min(rc.segment_size, rc.warmup)
+        ).compile()
+        timings["warmup_compile_s"] = time.perf_counter() - t_c
+        del compiled  # jit cache retains it
+        t_w = time.perf_counter()
+        for i, L in enumerate(_segment_lengths(rc.warmup, rc.segment_size)):
+            state = warmup_segment(state, data, length=L)
+            if rc.log_every_segment:
+                jax.block_until_ready(state.t)
+                done = int(state.t)
+                rate = done / max(time.perf_counter() - t_w, 1e-9)
+                log.info("warmup: %d/%d sweeps (%.0f sweeps/s)",
+                         done, rc.warmup, rate)
+            _maybe_checkpoint(cfg, state, "warmup", i)
+        jax.block_until_ready(state.t)
+        warm_rates = _accept_rates(state, rc.warmup)
+        state = _reset_accept(state)
+    timings["warmup_s"] = time.perf_counter() - t_w
+
+    # ---- sampling (adaptation frozen) ----
+    t_c = time.perf_counter()
+    if rc.draws > 0:
+        _ = sample_segment.lower(
+            state, data, length=min(rc.segment_size, rc.draws)
+        ).compile()
+    timings["sample_compile_s"] = time.perf_counter() - t_c
+
+    segments = []
+    t_s = time.perf_counter()
+    drawn = 0
+    for i, L in enumerate(_segment_lengths(rc.draws, rc.segment_size)):
+        state, seg_draws = sample_segment(state, data, length=L)
+        segments.append(seg_draws)
+        drawn += L
+        if rc.log_every_segment:
+            jax.block_until_ready(state.t)
+            rate = drawn * max(1, rc.thin) / max(
+                time.perf_counter() - t_s, 1e-9
+            )
+            log.info("sample: %d/%d draws (%.0f sweeps/s)",
+                     drawn, rc.draws, rate)
+        _maybe_checkpoint(cfg, state, "sample", i, {"draws_done": drawn})
+    if segments:
+        draws = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=1), *segments
+        )
+        jax.block_until_ready(draws)
+    else:
+        draws = {}
+    timings["sample_s"] = time.perf_counter() - t_s
+
+    total_sample_sweeps = rc.draws * max(1, rc.thin)
+    post = Posterior(
+        draws=draws,
+        accept_rates=_accept_rates(state, total_sample_sweeps),
+        warmup_accept_rates=warm_rates,
+        config=cfg.to_dict(),
+        timings=timings,
+    )
+    post.final_state = state  # expose the carry for resume/inspection
+    return post
+
+
+def warmup_then_state(model, data, cfg, key=None) -> KernelState:
+    """Run only the warmup phase and return the adapted carry."""
+    cfg2 = SamplerConfig(
+        kernel=cfg.kernel,
+        run=dc_replace(cfg.run, draws=0),
+        sharding=cfg.sharding,
+    )
+    post = sample(model, data, cfg2, key)
+    return post.final_state

@@ -1,0 +1,87 @@
+"""The MH-within-Gibbs sweep — the hot loop body.
+
+One sweep updates every block in declaration order. Grouped blocks update all
+their conditionally-independent units simultaneously (valid because the
+conditional factorizes per unit given the rest of the state); population
+blocks then update given the fresh group-level values. The block loop
+unrolls at trace time; `adapt` is a Python bool giving two separate compiled
+programs (adapting warmup step, frozen sampling step).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nestmc.adapt import adapt_log_scale, precond_std, update_precond
+from nestmc.config import MALA_TARGET_ACCEPT, SamplerConfig, rw_target_accept
+from nestmc.kernels.mala import mala_update
+from nestmc.kernels.rwmh import rwmh_update
+from nestmc.kernels.state import KernelState
+from nestmc.model import ModelSpec
+
+_UPDATES = {"rwmh": rwmh_update, "mala": mala_update}
+
+
+def block_target_accept(block, algorithm: str, cfg: SamplerConfig) -> float:
+    if block.target_accept is not None:
+        return block.target_accept
+    if cfg.kernel.target_accept is not None:
+        return cfg.kernel.target_accept
+    if algorithm == "mala":
+        return MALA_TARGET_ACCEPT
+    return rw_target_accept(block.unit_dim)
+
+
+def make_sweep(model: ModelSpec, cfg: SamplerConfig):
+    """Build sweep(state, data, adapt: bool) -> state.
+
+    ``data`` is a traced argument (not a closure constant) so the engine can
+    pass it through the jit boundary with its mesh sharding attached.
+    """
+
+    def sweep(state: KernelState, data, adapt: bool) -> KernelState:
+        key, key_sweep = jax.random.split(state.key)
+        position = dict(state.position)
+        log_scale = dict(state.log_scale)
+        precond = dict(state.precond)
+        accept_sum = dict(state.accept_sum)
+        t = state.t
+
+        for i, block in enumerate(model.blocks):
+            name = block.name
+            algorithm = block.algorithm or cfg.kernel.algorithm
+            update = _UPDATES[algorithm]
+            kb = jax.random.fold_in(key_sweep, i)
+            pstd = precond_std(precond[name], cfg.kernel)
+
+            new_value, alpha = update(
+                kb, block, model, position, log_scale[name], pstd, data
+            )
+            position[name] = new_value
+            accept_sum[name] = accept_sum[name] + alpha
+
+            if adapt:
+                target = block_target_accept(block, algorithm, cfg)
+                # Scale adaptation sees the per-scale-unit acceptance: mean
+                # over units when scales are shared across units.
+                a = alpha
+                if a.shape[1] != log_scale[name].shape[1]:
+                    a = jnp.mean(a, axis=1, keepdims=True)
+                log_scale[name] = adapt_log_scale(
+                    log_scale[name], a, t, target, cfg.kernel
+                )
+                precond[name] = update_precond(
+                    precond[name], new_value, cfg.kernel
+                )
+
+        return KernelState(
+            position=position,
+            log_scale=log_scale,
+            precond=precond,
+            accept_sum=accept_sum,
+            t=t + 1,
+            key=key,
+        )
+
+    return sweep

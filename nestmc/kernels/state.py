@@ -1,0 +1,87 @@
+"""The scan-carry pytree: positions + adaptation + acceptance bookkeeping.
+
+One KernelState holds EVERYTHING the sampler needs to continue — positions,
+per-(chain, unit) proposal scales, preconditioner moments, acceptance
+accumulators, the step counter and the RNG key — so checkpoint/resume is
+"serialize the carry" and a resumed run is bitwise-identical to an
+uninterrupted one (counter-based RNG keyed from the carry).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from nestmc.adapt import init_precond
+from nestmc.config import SamplerConfig
+from nestmc.model import ModelSpec
+
+
+@dataclass(frozen=True)
+class KernelState:
+    """Chain-batched sampler state (all leaves lead with the chains axis).
+
+    position:   {name: (C, *shape)} current parameter values.
+    log_scale:  {name: (C, U)} per-(chain, unit) log proposal scales
+                (U = 1 for scalar blocks or when scale_per_unit=False).
+    precond:    {name: None | {mean, var, count}} EMA moments for diagonal
+                preconditioning.
+    accept_sum: {name: (C, U)} cumulative acceptance probabilities.
+    t:          () int32 — sweeps taken (drives the RM schedule).
+    key:        PRNG key (threefry, partitionable across shardings).
+    """
+
+    position: dict
+    log_scale: dict
+    precond: dict
+    accept_sum: dict
+    t: jnp.ndarray
+    key: jax.Array
+
+
+jax.tree_util.register_dataclass(
+    KernelState,
+    data_fields=["position", "log_scale", "precond", "accept_sum", "t", "key"],
+    meta_fields=[],
+)
+
+
+def scale_units(block, cfg: SamplerConfig) -> int:
+    if block.units and cfg.kernel.scale_per_unit:
+        return block.units
+    return 1
+
+
+def init_kernel_state(
+    model: ModelSpec,
+    cfg: SamplerConfig,
+    key: jax.Array,
+    data,
+    position: dict | None = None,
+) -> KernelState:
+    """Build the initial carry. ``position`` overrides model init (resume)."""
+    k_init, k_carry = jax.random.split(key)
+    chains = cfg.run.chains
+    if position is None:
+        position = model.init_state(k_init, data, chains)
+    dtype = jnp.result_type(*jax.tree_util.tree_leaves(position))
+    log_scale, precond, accept_sum = {}, {}, {}
+    for b in model.blocks:
+        u = scale_units(b, cfg)
+        # 2.38/sqrt(d) is the RW-optimal scale for a unit-variance target;
+        # init_scale carries the model author's rough posterior-scale guess.
+        s0 = b.init_scale * 2.38 / math.sqrt(max(b.unit_dim, 1))
+        log_scale[b.name] = jnp.full((chains, u), math.log(s0), dtype)
+        precond[b.name] = init_precond(position[b.name], cfg.kernel)
+        accept_sum[b.name] = jnp.zeros((chains, max(b.units, 1)), dtype)
+    return KernelState(
+        position=position,
+        log_scale=log_scale,
+        precond=precond,
+        accept_sum=accept_sum,
+        t=jnp.zeros((), jnp.int32),
+        key=k_carry,
+    )

@@ -1,0 +1,159 @@
+"""Model abstraction (L3): parameter blocks + conditional log-densities.
+
+A model is a set of **blocks** (the Gibbs partition of the parameter vector)
+plus a dispatcher that evaluates, for any block, the part of the joint
+log-density that depends on that block ("conditional log-density up to a
+constant").
+
+The TPU-first design decision: a block with ``units = U > 0`` declares that
+its leading axis indexes U *conditionally independent* units (groups,
+subjects) given the rest of the state. Its conditional log-density returns a
+``(chains, U)`` array and the MH accept/reject is made **per unit, for all
+units and all chains in one batched kernel** — this is what turns the
+reference's per-group Python loop into a single ``chains x groups`` lattice
+update (BASELINE.json:5).
+
+Batching convention: every state leaf carries a leading ``chains`` axis.
+Built-in models are written chain-batched natively so the hot likelihood can
+hit the MXU as a (chains, p) x (p, obs) matmul per group tile; custom models
+written unbatched can be lifted with :func:`vmap_chains`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+State = dict  # name -> (chains, *shape) array
+Data = Any
+
+
+@dataclass(frozen=True)
+class Block:
+    """One Gibbs block.
+
+    Attributes:
+      name:   state-dict key.
+      shape:  per-chain shape. If ``units > 0``, ``shape[0] == units`` and the
+              remaining dims are the per-unit parameter shape.
+      units:  number of conditionally-independent units updated in parallel
+              (0 = the block is accepted/rejected as one joint proposal).
+      init_scale: initial random-walk proposal stddev (unconstrained space).
+      target_accept: MH acceptance target for adaptation; None = pick the
+              standard optimum from the per-unit dimension (0.44 for d=1,
+              0.234 otherwise; 0.574 for MALA) at kernel-build time.
+      algorithm: per-block override of KernelConfig.algorithm
+              ('rwmh' | 'mala' | None = use the config's).
+    """
+
+    name: str
+    shape: tuple
+    units: int = 0
+    init_scale: float = 1.0
+    target_accept: float | None = None
+    algorithm: str | None = None
+
+    @property
+    def unit_shape(self) -> tuple:
+        return self.shape[1:] if self.units else self.shape
+
+    @property
+    def unit_dim(self) -> int:
+        d = 1
+        for s in self.unit_shape:
+            d *= int(s)
+        return d
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    """Declarative model: blocks + batched conditional log-densities.
+
+    Attributes:
+      name: model identifier.
+      blocks: Gibbs update order.
+      cond_logdensity(block_name, value, state, data) -> (C, units) or (C,):
+        all terms of the joint log-density that involve ``block_name``,
+        evaluated at ``value`` (others read from ``state``), aggregated per
+        unit of that block. Must include Jacobian terms of any transforms.
+        ``block_name`` is static (the block loop is unrolled at trace time).
+      joint_logdensity(state, data) -> (C,): the full joint (up to a
+        constant) — used by diagnostics, tests, and joint-update kernels.
+      init_state(key, data, chains) -> State: initial chain-batched state
+        (typically overdispersed around a crude fit).
+      prior_sample(key, data, chains) -> State: exact draw from the prior
+        (for Geweke / SBC calibration); optional.
+      sample_data(key, state, data) -> Data: simulate responses given
+        parameters of chain 0 (for Geweke / SBC); optional.
+      cond_value_and_grad(block_name, value, state, data) -> ((C,U), value-
+        shaped grad): optional fused log-density+gradient (Pallas) for MALA;
+        when absent the MALA kernel differentiates cond_logdensity with
+        ``jax.vjp``.
+      loglik_impls: named fast implementations of the hot likelihood term,
+        e.g. {"pallas": fn}; the kernel config selects one, the default jnp
+        path is always available inside cond_logdensity.
+    """
+
+    name: str
+    blocks: tuple
+    cond_logdensity: Callable
+    joint_logdensity: Callable
+    init_state: Callable
+    prior_sample: Callable | None = None
+    sample_data: Callable | None = None
+    cond_value_and_grad: Callable | None = None
+    loglik_impls: dict = dataclasses.field(default_factory=dict)
+
+    def block(self, name: str) -> Block:
+        for b in self.blocks:
+            if b.name == name:
+                return b
+        raise KeyError(name)
+
+    def with_loglik_impl(self, **impls) -> "ModelSpec":
+        return dataclasses.replace(
+            self, loglik_impls={**self.loglik_impls, **impls}
+        )
+
+
+def vmap_chains(spec: ModelSpec) -> ModelSpec:
+    """Lift a ModelSpec written for UNBATCHED state (no chain axis) to the
+    chain-batched convention via ``jax.vmap``.
+
+    Convenience for user models; built-ins are natively batched (faster hot
+    path: the chain axis reaches the Pallas/matmul kernels explicitly).
+    """
+
+    def cond(name, value, state, data):
+        return jax.vmap(
+            lambda v, s: spec.cond_logdensity(name, v, s, data)
+        )(value, state)
+
+    def joint(state, data):
+        return jax.vmap(lambda s: spec.joint_logdensity(s, data))(state)
+
+    def init_state(key, data, chains):
+        keys = jax.random.split(key, chains)
+        return jax.vmap(lambda k: spec.init_state(k, data, 0))(keys)
+
+    prior = None
+    if spec.prior_sample is not None:
+        def prior(key, data, chains):
+            keys = jax.random.split(key, chains)
+            return jax.vmap(lambda k: spec.prior_sample(k, data, 0))(keys)
+
+    return dataclasses.replace(
+        spec,
+        cond_logdensity=cond,
+        joint_logdensity=joint,
+        init_state=init_state,
+        prior_sample=prior,
+    )
+
+
+def state_dtype(state: State):
+    return jnp.result_type(*jax.tree_util.tree_leaves(state))

@@ -1,0 +1,183 @@
+"""Hierarchical logistic regression — the judged benchmark model.
+
+    y_ij ~ Bernoulli(sigmoid(x_ij . beta_j))     i obs in group j
+    beta_j ~ N(mu, diag(tau^2))                  group-level coefficients
+    mu_k ~ N(0, prior_mu_scale^2)
+    tau_k ~ HalfNormal(prior_tau_scale)          sampled as log tau + Jacobian
+
+Configs: BASELINE.json:8 (100 groups x 50 obs, 64 chains) and the judged
+metric's 1k-group variant (BASELINE.json:2,5); BASELINE.json:10 is the same
+model over ragged/segment data at 10k groups.
+
+The group-block conditional is `loglik + gprior` where loglik is the hot
+(chains x groups x obs) reduction; implementation selected at construction:
+'jnp' (reference), 'pallas' (fused TPU kernel), 'auto' (pallas on TPU).
+The population blocks (mu, log_tau) never touch the data — their conditional
+reads only beta — so the expensive likelihood runs exactly twice per sweep.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nestmc.data import NestedData, RaggedData
+from nestmc.distributions import logpdf_halfnormal, logpdf_normal
+from nestmc.model import Block, ModelSpec
+from nestmc.ops.loglik import logistic_loglik_padded, logistic_loglik_segment
+
+
+def _resolve_loglik(data, impl: str):
+    """Pick the (beta, data) -> (C, G) likelihood implementation."""
+    ragged = isinstance(data, RaggedData)
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        impl = "pallas" if (on_tpu and not ragged) else "jnp"
+    if impl == "pallas" and not ragged:
+        from nestmc.ops.pallas.loglik_logistic import (
+            logistic_loglik_padded_pallas,
+        )
+
+        def lik(beta, data):
+            return logistic_loglik_padded_pallas(
+                beta, data.x, data.y, data.mask
+            )
+        return lik, impl
+    if ragged:
+        def lik(beta, data):
+            return logistic_loglik_segment(
+                beta, data.x, data.y, data.segment_ids, data.num_groups
+            )
+        return lik, "jnp-segment"
+
+    def lik(beta, data):
+        return logistic_loglik_padded(beta, data.x, data.y, data.mask)
+    return lik, "jnp"
+
+
+def make_hier_logistic(
+    data,
+    prior_mu_scale: float = 5.0,
+    prior_tau_scale: float = 2.0,
+    loglik_impl: str = "auto",
+) -> ModelSpec:
+    G = data.num_groups
+    p = data.num_covariates
+    lik_fn, chosen = _resolve_loglik(data, loglik_impl)
+
+    def _gprior(state):
+        beta = state["beta"]                      # (C, G, p)
+        mu = state["mu"][:, None, :]              # (C, 1, p)
+        tau = jnp.exp(state["log_tau"])[:, None, :]
+        return jnp.sum(logpdf_normal(beta, mu, tau), axis=-1)  # (C, G)
+
+    def cond(name, value, state, data):
+        state = {**state, name: value}
+        if name == "beta":
+            return lik_fn(state["beta"], data) + _gprior(state)
+        if name == "mu":
+            pprior = jnp.sum(
+                logpdf_normal(state["mu"], 0.0, prior_mu_scale), axis=-1
+            )
+            return jnp.sum(_gprior(state), axis=-1) + pprior
+        if name == "log_tau":
+            tau = jnp.exp(state["log_tau"])
+            pprior = jnp.sum(
+                logpdf_halfnormal(tau, prior_tau_scale) + state["log_tau"],
+                axis=-1,
+            )
+            return jnp.sum(_gprior(state), axis=-1) + pprior
+        raise KeyError(name)
+
+    def joint(state, data):
+        tau = jnp.exp(state["log_tau"])
+        return (
+            jnp.sum(lik_fn(state["beta"], data), axis=-1)
+            + jnp.sum(_gprior(state), axis=-1)
+            + jnp.sum(logpdf_normal(state["mu"], 0.0, prior_mu_scale), axis=-1)
+            + jnp.sum(
+                logpdf_halfnormal(tau, prior_tau_scale) + state["log_tau"],
+                axis=-1,
+            )
+        )
+
+    def init_state(key, data, chains):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "beta": 0.5 * jax.random.normal(k1, (chains, G, p)),
+            "mu": 0.5 * jax.random.normal(k2, (chains, p)),
+            "log_tau": -0.5 + 0.3 * jax.random.normal(k3, (chains, p)),
+        }
+
+    def prior_sample(key, data, chains):
+        k1, k2, k3 = jax.random.split(key, 3)
+        mu = prior_mu_scale * jax.random.normal(k1, (chains, p))
+        tau = prior_tau_scale * jnp.abs(jax.random.normal(k2, (chains, p)))
+        beta = mu[:, None, :] + tau[:, None, :] * jax.random.normal(
+            k3, (chains, G, p)
+        )
+        return {"beta": beta, "mu": mu, "log_tau": jnp.log(tau)}
+
+    def sample_data(key, state, data):
+        beta = state["beta"][0]  # (G, p)
+        if isinstance(data, RaggedData):
+            eta = jnp.einsum("np,np->n", jnp.take(beta, data.segment_ids, 0),
+                             data.x)
+            y = jax.random.bernoulli(key, jax.nn.sigmoid(eta))
+            return RaggedData(
+                y=y.astype(data.y.dtype), segment_ids=data.segment_ids,
+                num_groups=data.num_groups, x=data.x, extra=data.extra,
+            )
+        eta = jnp.einsum("gnp,gp->gn", data.x, beta)
+        y = jax.random.bernoulli(key, jax.nn.sigmoid(eta))
+        return NestedData(
+            y=y.astype(data.y.dtype) * data.mask, mask=data.mask,
+            sizes=data.sizes, x=data.x, extra=data.extra,
+        )
+
+    return ModelSpec(
+        name="hier_logistic",
+        blocks=(
+            Block("beta", (G, p), units=G, init_scale=0.3),
+            Block("mu", (p,), init_scale=0.2),
+            Block("log_tau", (p,), init_scale=0.2),
+        ),
+        cond_logdensity=cond,
+        joint_logdensity=joint,
+        init_state=init_state,
+        prior_sample=prior_sample,
+        sample_data=sample_data,
+        loglik_impls={"selected": chosen},
+    )
+
+
+def synth_logistic(
+    key, G: int = 100, n: int = 50, p: int = 4,
+    ragged: bool = False, min_obs: int = 5,
+    dtype=jnp.float32,
+):
+    """Synthetic hierarchical-logistic data with known generating params."""
+    import numpy as np
+
+    kx, kb, ky, kn, km, kt = jax.random.split(key, 6)
+    mu = 0.5 * jax.random.normal(km, (p,))
+    tau = 0.3 + 0.3 * jnp.abs(jax.random.normal(kt, (p,)))
+    beta = mu + tau * jax.random.normal(kb, (G, p))
+    x = jax.random.normal(kx, (G, n, p), dtype=dtype)
+    # intercept column keeps the design realistic
+    x = x.at[:, :, 0].set(1.0)
+    eta = jnp.einsum("gnp,gp->gn", x, beta)
+    y = jax.random.bernoulli(ky, jax.nn.sigmoid(eta)).astype(dtype)
+    truth = {"mu": mu, "tau": tau, "beta": beta}
+    if not ragged:
+        data = NestedData(
+            y=y, mask=jnp.ones((G, n), jnp.float32),
+            sizes=jnp.full((G,), n, jnp.int32), x=x, extra={},
+        )
+        return data, truth
+    sizes = np.asarray(
+        jax.random.randint(kn, (G,), min_obs, n + 1)
+    )
+    ys = [np.asarray(y[g, : sizes[g]]) for g in range(G)]
+    xs = [np.asarray(x[g, : sizes[g]]) for g in range(G)]
+    return RaggedData.from_ragged(ys, xs, dtype=dtype), truth

@@ -1,0 +1,203 @@
+"""Three-level nested Poisson GLMM — BASELINE.json:9 (config 3).
+
+    y_si  ~ Poisson(exp(x_si . beta_s))        obs i within subject s
+    beta_s ~ N(beta_{g(s)}, diag(tau_s^2))      subjects within groups
+    beta_g ~ N(mu, diag(tau_g^2))
+    mu_k ~ N(0, prior_mu_scale^2); tau_* ~ HalfNormal(prior_tau_scale)
+
+Gibbs blocks (all batched over chains):
+  beta_s: S independent units — obs-level likelihood + subject prior;
+  beta_g: G independent units — segment-sum of its subjects' prior terms
+          (subject->group via ``segment_sum``) + group prior; NO data touch;
+  mu, log_tau_g, log_tau_s: population scalars.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from nestmc.data import NestedData3
+from nestmc.distributions import logpdf_halfnormal, logpdf_normal
+from nestmc.model import Block, ModelSpec
+from nestmc.ops.loglik import poisson_loglik_padded
+
+
+def _segsum_cs_to_cg(arr_cs, subject_group, num_groups):
+    # (C, S) -> (C, G)
+    return jax.ops.segment_sum(
+        arr_cs.T, subject_group, num_segments=num_groups,
+        indices_are_sorted=True,
+    ).T
+
+
+def _resolve_loglik(impl: str):
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if impl == "pallas":
+        from nestmc.ops.pallas.loglik_poisson import (
+            poisson_loglik_padded_pallas,
+        )
+
+        def lik(beta_s, data, lgamma_y):
+            return poisson_loglik_padded_pallas(
+                beta_s, data.x, data.y, data.mask, lgamma_y
+            )
+        return lik, impl
+
+    def lik(beta_s, data, lgamma_y):
+        return poisson_loglik_padded(
+            beta_s, data.x, data.y, data.mask, lgamma_y
+        )
+    return lik, "jnp"
+
+
+def make_nested_poisson(
+    data: NestedData3,
+    prior_mu_scale: float = 2.0,
+    prior_tau_scale: float = 1.0,
+    loglik_impl: str = "auto",
+) -> ModelSpec:
+    S = data.num_subjects
+    G = data.num_groups
+    p = data.num_covariates
+    lik_fn, chosen = _resolve_loglik(loglik_impl)
+    # lgamma(y+1) is constant across the run — precompute once.
+    lgamma_y = gammaln(data.y + 1.0)
+
+    def _sprior(state):
+        # beta_s | beta_g: (C, S)
+        bg = jnp.take(state["beta_g"], data.subject_group, axis=1)  # (C,S,p)
+        tau_s = jnp.exp(state["log_tau_s"])[:, None, :]
+        return jnp.sum(logpdf_normal(state["beta_s"], bg, tau_s), axis=-1)
+
+    def _gprior(state):
+        mu = state["mu"][:, None, :]
+        tau_g = jnp.exp(state["log_tau_g"])[:, None, :]
+        return jnp.sum(logpdf_normal(state["beta_g"], mu, tau_g), axis=-1)
+
+    def _pprior(state):
+        tau_s = jnp.exp(state["log_tau_s"])
+        tau_g = jnp.exp(state["log_tau_g"])
+        return (
+            jnp.sum(logpdf_normal(state["mu"], 0.0, prior_mu_scale), axis=-1)
+            + jnp.sum(
+                logpdf_halfnormal(tau_s, prior_tau_scale)
+                + state["log_tau_s"],
+                axis=-1,
+            )
+            + jnp.sum(
+                logpdf_halfnormal(tau_g, prior_tau_scale)
+                + state["log_tau_g"],
+                axis=-1,
+            )
+        )
+
+    def cond(name, value, state, data):
+        state = {**state, name: value}
+        if name == "beta_s":
+            return lik_fn(state["beta_s"], data, lgamma_y) + _sprior(state)
+        if name == "beta_g":
+            return (
+                _segsum_cs_to_cg(_sprior(state), data.subject_group, G)
+                + _gprior(state)
+            )
+        if name == "mu":
+            return jnp.sum(_gprior(state), axis=-1) + _pprior(state)
+        if name == "log_tau_g":
+            return jnp.sum(_gprior(state), axis=-1) + _pprior(state)
+        if name == "log_tau_s":
+            return jnp.sum(_sprior(state), axis=-1) + _pprior(state)
+        raise KeyError(name)
+
+    def joint(state, data):
+        return (
+            jnp.sum(lik_fn(state["beta_s"], data, lgamma_y), axis=-1)
+            + jnp.sum(_sprior(state), axis=-1)
+            + jnp.sum(_gprior(state), axis=-1)
+            + _pprior(state)
+        )
+
+    def init_state(key, data, chains):
+        ks = jax.random.split(key, 5)
+        return {
+            "beta_s": 0.2 * jax.random.normal(ks[0], (chains, S, p)),
+            "beta_g": 0.2 * jax.random.normal(ks[1], (chains, G, p)),
+            "mu": 0.2 * jax.random.normal(ks[2], (chains, p)),
+            "log_tau_s": -1.0 + 0.2 * jax.random.normal(ks[3], (chains, p)),
+            "log_tau_g": -1.0 + 0.2 * jax.random.normal(ks[4], (chains, p)),
+        }
+
+    def prior_sample(key, data, chains):
+        ks = jax.random.split(key, 5)
+        mu = prior_mu_scale * jax.random.normal(ks[0], (chains, p))
+        tau_g = prior_tau_scale * jnp.abs(jax.random.normal(ks[1], (chains, p)))
+        tau_s = prior_tau_scale * jnp.abs(jax.random.normal(ks[2], (chains, p)))
+        beta_g = mu[:, None, :] + tau_g[:, None, :] * jax.random.normal(
+            ks[3], (chains, G, p)
+        )
+        bg_s = jnp.take(beta_g, data.subject_group, axis=1)
+        beta_s = bg_s + tau_s[:, None, :] * jax.random.normal(
+            ks[4], (chains, S, p)
+        )
+        return {
+            "beta_s": beta_s, "beta_g": beta_g, "mu": mu,
+            "log_tau_s": jnp.log(tau_s), "log_tau_g": jnp.log(tau_g),
+        }
+
+    def sample_data(key, state, data):
+        eta = jnp.einsum("snp,sp->sn", data.x, state["beta_s"][0])
+        y = jax.random.poisson(key, jnp.exp(eta)).astype(data.y.dtype)
+        return NestedData3(
+            y=y * data.mask, mask=data.mask,
+            subject_group=data.subject_group, num_groups=G,
+            x=data.x, extra=data.extra,
+        )
+
+    return ModelSpec(
+        name="nested_poisson",
+        blocks=(
+            Block("beta_s", (S, p), units=S, init_scale=0.2),
+            Block("beta_g", (G, p), units=G, init_scale=0.2),
+            Block("mu", (p,), init_scale=0.15),
+            Block("log_tau_g", (p,), init_scale=0.2),
+            Block("log_tau_s", (p,), init_scale=0.2),
+        ),
+        cond_logdensity=cond,
+        joint_logdensity=joint,
+        init_state=init_state,
+        prior_sample=prior_sample,
+        sample_data=sample_data,
+        loglik_impls={"selected": chosen},
+    )
+
+
+def synth_poisson3(
+    key, G: int = 20, subjects_per_group: int = 5, n: int = 10, p: int = 3,
+    dtype=jnp.float32,
+):
+    """Synthetic 3-level Poisson data with known generating params."""
+    S = G * subjects_per_group
+    ks = jax.random.split(key, 6)
+    mu = 0.3 * jax.random.normal(ks[0], (p,))
+    tau_g = 0.2 + 0.1 * jnp.abs(jax.random.normal(ks[1], (p,)))
+    tau_s = 0.2 + 0.1 * jnp.abs(jax.random.normal(ks[2], (p,)))
+    beta_g = mu + tau_g * jax.random.normal(ks[3], (G, p))
+    subject_group = jnp.repeat(jnp.arange(G, dtype=jnp.int32),
+                               subjects_per_group)
+    beta_s = jnp.take(beta_g, subject_group, axis=0) + tau_s * (
+        jax.random.normal(ks[4], (S, p))
+    )
+    x = 0.5 * jax.random.normal(ks[5], (S, n, p), dtype=dtype)
+    x = x.at[:, :, 0].set(1.0)
+    eta = jnp.einsum("snp,sp->sn", x, beta_s)
+    y = jax.random.poisson(jax.random.fold_in(key, 7), jnp.exp(eta)).astype(
+        dtype
+    )
+    data = NestedData3(
+        y=y, mask=jnp.ones((S, n), jnp.float32),
+        subject_group=subject_group, num_groups=G, x=x, extra={},
+    )
+    truth = {"mu": mu, "tau_g": tau_g, "tau_s": tau_s}
+    return data, truth

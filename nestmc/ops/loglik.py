@@ -1,0 +1,93 @@
+"""jnp reference implementations of the batched likelihood reductions.
+
+Signatures are shared with the Pallas kernels in :mod:`nestmc.ops.pallas`;
+every Pallas kernel must agree with its function here to float tolerance
+(tests/test_pallas_parity.py). XLA already fuses these into few kernels; the
+Pallas versions exist to fuse the obs-axis streaming reduction tighter and to
+control VMEM tiling at large G.
+
+Shapes:
+  beta: (C, G, p) per-chain per-group coefficients
+  x:    (G, n, p) padded covariates       y, mask: (G, n)
+  returns (C, G) per-chain per-group log-likelihood.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import nn
+from jax.scipy.special import gammaln
+
+
+def _eta_padded(beta, x):
+    # (C,G,p) x (G,n,p) -> (C,G,n); contracted over p on the MXU.
+    return jnp.einsum(
+        "cgp,gnp->cgn", beta, x, preferred_element_type=jnp.float32
+    )
+
+
+def logistic_loglik_padded(beta, x, y, mask):
+    """sum_i mask * [y*eta - softplus(eta)] -> (C, G)."""
+    eta = _eta_padded(beta, x)
+    ll = y * eta - nn.softplus(eta)
+    return jnp.sum(ll * mask, axis=-1)
+
+
+def poisson_loglik_padded(beta, x, y, mask, lgamma_y=None):
+    """sum_i mask * [y*eta - exp(eta) - lgamma(y+1)] -> (C, G).
+
+    ``lgamma_y``: optional precomputed (G, n) lgamma(y+1) table (constant
+    across the run — precompute once instead of per sweep).
+    """
+    eta = _eta_padded(beta, x)
+    if lgamma_y is None:
+        lgamma_y = gammaln(y + 1.0)
+    ll = y * eta - jnp.exp(eta) - lgamma_y
+    return jnp.sum(ll * mask, axis=-1)
+
+
+def normal_loglik_padded(beta, x, y, mask, sigma):
+    """Gaussian response: sum_i mask * log N(y | eta, sigma) -> (C, G).
+
+    ``sigma``: scalar, (G,), (G, n), or chain-batched (C, 1)/(C, G) —
+    broadcast against (C, G, n).
+    """
+    eta = _eta_padded(beta, x)
+    sig = jnp.asarray(sigma)
+    while sig.ndim < 3:
+        sig = sig[..., None]
+    z = (y - eta) / sig
+    ll = -0.5 * (z * z) - jnp.log(sig) - 0.9189385332046727
+    return jnp.sum(ll * mask, axis=-1)
+
+
+def _eta_segment(beta, x, segment_ids):
+    # beta (C,G,p), x (N,p) -> (C,N): gather each obs's group coefficients.
+    beta_obs = jnp.take(beta, segment_ids, axis=1)  # (C, N, p)
+    return jnp.einsum(
+        "cnp,np->cn", beta_obs, x, preferred_element_type=jnp.float32
+    )
+
+
+def _segsum_cn(ll, segment_ids, num_groups):
+    # (C, N) -> (C, G) segment reduction over obs.
+    return jax.ops.segment_sum(
+        ll.T, segment_ids, num_segments=num_groups,
+        indices_are_sorted=True,
+    ).T
+
+
+def logistic_loglik_segment(beta, x, y, segment_ids, num_groups):
+    """Ragged form: flat obs arrays + segment ids -> (C, G)."""
+    eta = _eta_segment(beta, x, segment_ids)
+    ll = y * eta - nn.softplus(eta)
+    return _segsum_cn(ll, segment_ids, num_groups)
+
+
+def poisson_loglik_segment(beta, x, y, segment_ids, num_groups, lgamma_y=None):
+    eta = _eta_segment(beta, x, segment_ids)
+    if lgamma_y is None:
+        lgamma_y = gammaln(y + 1.0)
+    ll = y * eta - jnp.exp(eta) - lgamma_y
+    return _segsum_cn(ll, segment_ids, num_groups)

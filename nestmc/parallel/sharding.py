@@ -1,0 +1,143 @@
+"""Mesh construction and sharding rules for sampler state and data.
+
+Parallelism taxonomy (SURVEY.md section 2.3):
+  - chains axis  -> data parallelism: embarrassingly parallel, zero hot-loop
+    collectives; diagnostics at the end reduce across chains.
+  - groups axis  -> tensor-model parallelism: group-level updates stay local,
+    population-block conditionals reduce over groups (one compiler-inserted
+    psum per sweep).
+  - observations -> handled inside a chip by kernel tiling / segment sums
+    (this workload's sequence-parallel analog; there is no pairwise
+    obs x obs interaction, so ring-attention-style schemes do not apply).
+  - pipeline / expert parallelism: deliberately absent — Gibbs blocks are
+    sequentially dependent within a sweep, and there is no conditional
+    routing. Documented, not implemented.
+
+Everything goes through ``jit`` + ``NamedSharding``; XLA chooses and places
+the collectives (ICI on a slice, DCN transparently under
+``jax.distributed.initialize`` — no code change needed here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nestmc.config import SamplerConfig
+from nestmc.data import NestedData, NestedData3, RaggedData
+
+
+def make_mesh(cfg: SamplerConfig, devices=None) -> Mesh | None:
+    """('chains', 'groups') mesh, or None for the single-device fast path."""
+    sh = cfg.sharding
+    n = sh.chain_shards * sh.group_shards
+    if n == 1:
+        return None
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < n:
+        raise ValueError(
+            f"sharding needs {n} devices, have {len(devices)}"
+        )
+    dev = np.array(devices[:n]).reshape(sh.chain_shards, sh.group_shards)
+    return Mesh(dev, ("chains", "groups"))
+
+
+def _grouped_shardable(block, cfg: SamplerConfig) -> bool:
+    return (
+        block.units > 0
+        and cfg.sharding.group_shards > 1
+        and block.units % cfg.sharding.group_shards == 0
+    )
+
+
+def state_shardings(model, cfg: SamplerConfig, mesh: Mesh):
+    """NamedSharding pytree matching a KernelState for this model/config."""
+    if mesh is None:
+        return None
+
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    position, log_scale, precond, accept_sum = {}, {}, {}, {}
+    for b in model.blocks:
+        gsh = _grouped_shardable(b, cfg)
+        val_spec = ("chains", "groups") if gsh else ("chains",)
+        val = ns(*val_spec)
+        position[b.name] = val
+        per_unit_scales = cfg.kernel.scale_per_unit and b.units > 0
+        log_scale[b.name] = (
+            ns("chains", "groups") if (gsh and per_unit_scales)
+            else ns("chains")
+        )
+        accept_sum[b.name] = (
+            ns("chains", "groups") if gsh else ns("chains")
+        )
+        if cfg.kernel.precond == "diag":
+            precond[b.name] = {
+                "mean": val, "var": val, "count": ns("chains"),
+            }
+        else:
+            precond[b.name] = None
+    from nestmc.kernels.state import KernelState
+
+    return KernelState(
+        position=position,
+        log_scale=log_scale,
+        precond=precond,
+        accept_sum=accept_sum,
+        t=ns(),
+        key=ns(),
+    )
+
+
+def data_shardings(data, cfg: SamplerConfig, mesh: Mesh):
+    """Sharding pytree for the data container.
+
+    Padded 2-level data shards its leading group axis over 'groups'; the
+    3-level container shards subjects over 'groups' (subject-major layout
+    keeps each subject's obs local). Ragged (segment) data is replicated —
+    flat obs arrays have no group-aligned static split; shard chains instead.
+    """
+    if mesh is None:
+        return None
+
+    def ns(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    grouped = cfg.sharding.group_shards > 1
+
+    def lead_group(a):
+        if a is None:
+            return None
+        if grouped and a.shape[0] % cfg.sharding.group_shards == 0:
+            return ns("groups")
+        return ns()
+
+    if isinstance(data, NestedData):
+        return NestedData(
+            y=lead_group(data.y), mask=lead_group(data.mask),
+            sizes=lead_group(data.sizes), x=lead_group(data.x),
+            extra={k: lead_group(v) for k, v in data.extra.items()},
+        )
+    if isinstance(data, NestedData3):
+        return NestedData3(
+            y=lead_group(data.y), mask=lead_group(data.mask),
+            subject_group=lead_group(data.subject_group),
+            num_groups=data.num_groups, x=lead_group(data.x),
+            extra={k: lead_group(v) for k, v in data.extra.items()},
+        )
+    if isinstance(data, RaggedData):
+        return jax.tree_util.tree_map(lambda _: ns(), data)
+    return jax.tree_util.tree_map(lambda _: ns(), data)
+
+
+def shard_inputs(state, data, model, cfg: SamplerConfig, mesh: Mesh):
+    """device_put carry + data onto the mesh with their rule shardings."""
+    if mesh is None:
+        return state, data
+    state = jax.device_put(state, state_shardings(model, cfg, mesh))
+    data = jax.device_put(data, data_shardings(data, cfg, mesh))
+    return state, data

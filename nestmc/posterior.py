@@ -1,0 +1,104 @@
+"""Posterior container + summaries (L7 output).
+
+Draws stay on device (possibly sharded) until the user asks for summaries;
+``summarize`` runs the diagnostics as one jit program and transfers only the
+per-parameter summary table to host.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nestmc.diagnostics import diagnose
+
+
+@dataclass
+class Posterior:
+    """Sampling results.
+
+    draws: {block_name: (chains, draws, ...)} retained draws (device arrays).
+    accept_rates: {block_name: (chains, units)} mean acceptance probability
+        over the sampling phase.
+    warmup_accept_rates: same, over warmup.
+    config: SamplerConfig dict for provenance.
+    timings: {'warmup_s', 'sample_s', 'compile_s', ...} wall-clock seconds.
+    """
+
+    draws: dict
+    accept_rates: dict
+    warmup_accept_rates: dict
+    config: dict
+    timings: dict = field(default_factory=dict)
+    _diag_cache: dict | None = None
+
+    def diagnostics(self) -> dict:
+        if self._diag_cache is None:
+            self._diag_cache = jax.jit(diagnose)(self.draws)
+        return self._diag_cache
+
+    def worst_rhat(self) -> float:
+        d = self.diagnostics()
+        return float(
+            jnp.max(
+                jnp.stack([jnp.max(v["rhat"]) for v in d.values()])
+            )
+        )
+
+    def total_ess(self, kind: str = "ess_bulk") -> float:
+        """Sum of ESS over every collected scalar parameter."""
+        d = self.diagnostics()
+        return float(
+            jnp.sum(jnp.stack([jnp.sum(v[kind]) for v in d.values()]))
+        )
+
+    def min_ess(self, kind: str = "ess_bulk") -> float:
+        d = self.diagnostics()
+        return float(
+            jnp.min(jnp.stack([jnp.min(v[kind]) for v in d.values()]))
+        )
+
+    def mean(self, name: str):
+        x = self.draws[name]
+        return jnp.mean(x.reshape((-1,) + x.shape[2:]), axis=0)
+
+    def var(self, name: str, ddof: int = 1):
+        x = self.draws[name]
+        return jnp.var(x.reshape((-1,) + x.shape[2:]), axis=0, ddof=ddof)
+
+    def quantile(self, name: str, q):
+        x = self.draws[name]
+        return jnp.quantile(x.reshape((-1,) + x.shape[2:]), q, axis=0)
+
+    def summarize(self) -> dict:
+        """Host-side nested summary dict (numpy leaves)."""
+        d = self.diagnostics()
+        out = {}
+        for name, stats in d.items():
+            out[name] = {k: np.asarray(v) for k, v in stats.items()}
+            out[name]["accept_rate"] = np.asarray(
+                jnp.mean(self.accept_rates[name])
+            )
+        return out
+
+    def summary_table(self) -> str:
+        """Human-readable fixed-width table of per-block aggregates."""
+        d = self.diagnostics()
+        lines = [
+            f"{'block':<14}{'mean':>10}{'sd':>10}{'rhat_max':>10}"
+            f"{'ess_min':>10}{'ess_sum':>12}{'acc':>7}"
+        ]
+        for name, s in d.items():
+            lines.append(
+                f"{name:<14}"
+                f"{float(jnp.mean(s['mean'])):>10.3f}"
+                f"{float(jnp.mean(s['sd'])):>10.3f}"
+                f"{float(jnp.max(s['rhat'])):>10.4f}"
+                f"{float(jnp.min(s['ess_bulk'])):>10.0f}"
+                f"{float(jnp.sum(s['ess_bulk'])):>12.0f}"
+                f"{float(jnp.mean(self.accept_rates[name])):>7.2f}"
+            )
+        return "\n".join(lines)

@@ -1,0 +1,171 @@
+"""Named presets for the five BASELINE.json:7-11 benchmark configs.
+
+Each preset builds (model, data, SamplerConfig) from a seed. Sizes follow the
+driver spec; `scale` lets the CLI/benchmarks shrink a preset for smoke tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import replace
+
+import jax
+
+from nestmc.config import (
+    KernelConfig,
+    RunConfig,
+    SamplerConfig,
+    ShardingConfig,
+)
+from nestmc.models import (
+    make_eight_schools,
+    make_hier_logistic,
+    make_nested_poisson,
+    synth_logistic,
+    synth_poisson3,
+)
+
+
+def _eight_schools(seed: int, scale: float):
+    """Config 1 (BASELINE.json:7): 8-schools, 4 chains x 10k draws, RW-MH."""
+    model, data = make_eight_schools()
+    cfg = SamplerConfig(
+        kernel=KernelConfig(algorithm="rwmh"),
+        run=RunConfig(
+            chains=4,
+            warmup=max(100, int(1000 * scale)),
+            draws=max(100, int(10_000 * scale)),
+            seed=seed,
+        ),
+    )
+    return model, data, cfg
+
+
+def _hier_logistic_100(seed: int, scale: float):
+    """Config 2 (BASELINE.json:8): 100 groups x 50 obs, 64 chains."""
+    data, _ = synth_logistic(
+        jax.random.key(seed + 1000), G=100, n=50, p=4
+    )
+    model = make_hier_logistic(data)
+    cfg = SamplerConfig(
+        run=RunConfig(
+            chains=64,
+            warmup=max(50, int(500 * scale)),
+            draws=max(50, int(1000 * scale)),
+            seed=seed,
+            collect={"mu": None, "log_tau": None, "beta": 16},
+        ),
+    )
+    return model, data, cfg
+
+
+def _hier_logistic_1k(seed: int, scale: float):
+    """The judged-metric model (BASELINE.json:2,5): 1k groups, many chains."""
+    data, _ = synth_logistic(
+        jax.random.key(seed + 2000), G=1000, n=50, p=4
+    )
+    model = make_hier_logistic(data)
+    cfg = SamplerConfig(
+        run=RunConfig(
+            chains=128,
+            warmup=max(50, int(400 * scale)),
+            draws=max(50, int(512 * scale)),
+            seed=seed,
+            collect={"mu": None, "log_tau": None, "beta": 8},
+        ),
+    )
+    return model, data, cfg
+
+
+def _nested_poisson_1k(seed: int, scale: float):
+    """Config 3 (BASELINE.json:9): 3-level Poisson GLMM, 1k groups, 512 chains."""
+    data, _ = synth_poisson3(
+        jax.random.key(seed + 3000),
+        G=max(8, int(1000 * min(scale * 10, 1.0))),
+        subjects_per_group=4, n=10, p=3,
+    )
+    model = make_nested_poisson(data)
+    cfg = SamplerConfig(
+        run=RunConfig(
+            chains=512 if scale >= 1.0 else 32,
+            warmup=max(50, int(400 * scale)),
+            draws=max(50, int(512 * scale)),
+            seed=seed,
+            collect={
+                "mu": None, "log_tau_g": None, "log_tau_s": None,
+                "beta_g": 8, "beta_s": 8,
+            },
+        ),
+    )
+    return model, data, cfg
+
+
+def _ragged_10k(seed: int, scale: float):
+    """Config 4 (BASELINE.json:10): ragged segment data, 10k groups,
+    1024 chains sharded over ICI (chains axis)."""
+    G = max(64, int(10_000 * min(scale * 10, 1.0)))
+    data, _ = synth_logistic(
+        jax.random.key(seed + 4000), G=G, n=30, p=3, ragged=True
+    )
+    model = make_hier_logistic(data)
+    n_dev = len(jax.devices())
+    cfg = SamplerConfig(
+        run=RunConfig(
+            chains=1024 if scale >= 1.0 else 8 * max(n_dev, 1),
+            warmup=max(50, int(300 * scale)),
+            draws=max(50, int(256 * scale)),
+            seed=seed,
+            collect={"mu": None, "log_tau": None, "beta": 8},
+        ),
+        sharding=ShardingConfig(chain_shards=max(n_dev, 1)),
+    )
+    return model, data, cfg
+
+
+def _mala_100k(seed: int, scale: float):
+    """Config 5 (BASELINE.json:11): MALA with fused log-density+grad,
+    100k groups on v5e-8 (chains x groups mesh)."""
+    G = max(128, int(100_000 * min(scale * 20, 1.0)))
+    data, _ = synth_logistic(
+        jax.random.key(seed + 5000), G=G, n=20, p=3
+    )
+    model = make_hier_logistic(data)
+    n_dev = len(jax.devices())
+    gsh = 2 if (n_dev % 2 == 0 and n_dev > 1 and G % 2 == 0) else 1
+    cfg = SamplerConfig(
+        kernel=KernelConfig(algorithm="mala"),
+        run=RunConfig(
+            chains=64 if scale >= 1.0 else 16,
+            warmup=max(50, int(300 * scale)),
+            draws=max(50, int(256 * scale)),
+            seed=seed,
+            collect={"mu": None, "log_tau": None, "beta": 8},
+        ),
+        sharding=ShardingConfig(
+            chain_shards=max(n_dev // gsh, 1), group_shards=gsh
+        ),
+    )
+    return model, data, cfg
+
+
+PRESETS = {
+    "eight-schools": _eight_schools,
+    "hier-logistic-100": _hier_logistic_100,
+    "hier-logistic-1k": _hier_logistic_1k,
+    "nested-poisson-1k": _nested_poisson_1k,
+    "ragged-10k": _ragged_10k,
+    "mala-100k": _mala_100k,
+}
+
+
+def get_preset(name: str, seed: int = 0, scale: float = 1.0):
+    """(model, data, SamplerConfig) for a named preset."""
+    if name not in PRESETS:
+        raise KeyError(
+            f"unknown preset {name!r}; available: {sorted(PRESETS)}"
+        )
+    return PRESETS[name](seed, scale)
+
+
+def override_run(cfg: SamplerConfig, **kwargs) -> SamplerConfig:
+    return dataclasses.replace(cfg, run=replace(cfg.run, **kwargs))
