@@ -40,7 +40,9 @@ def init_precond(value, cfg: KernelConfig):
     if cfg.precond != "diag":
         return None
     return {
-        "mean": value,
+        # copy: carry leaves must not alias (buffer donation would see the
+        # same buffer twice)
+        "mean": jnp.array(value),
         "var": jnp.ones_like(value),
         "count": jnp.zeros(value.shape[:1], value.dtype),  # per chain
     }

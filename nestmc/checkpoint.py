@@ -66,15 +66,19 @@ def load_checkpoint(directory: str, tag: str, template):
     new_leaves = []
     for i, ref in enumerate(leaves):
         arr = npz[f"leaf_{i}"]
-        if tuple(arr.shape) != tuple(np.shape(ref)):
-            raise ValueError(
-                f"leaf {i} shape {arr.shape} != template {np.shape(ref)}"
-            )
-        # Preserve the template leaf dtype (notably PRNG key arrays round-
-        # trip through their uint32 key-data representation).
-        if hasattr(ref, "dtype") and jax.dtypes.issubdtype(
+        is_key = hasattr(ref, "dtype") and jax.dtypes.issubdtype(
             ref.dtype, jax.dtypes.prng_key
-        ):
+        )
+        # PRNG keys round-trip through their uint32 key-data representation,
+        # whose shape carries an extra trailing impl dimension.
+        expected = (
+            jax.random.key_data(ref).shape if is_key else np.shape(ref)
+        )
+        if tuple(arr.shape) != tuple(expected):
+            raise ValueError(
+                f"leaf {i} shape {arr.shape} != template {tuple(expected)}"
+            )
+        if is_key:
             arr = jax.random.wrap_key_data(arr.astype(np.uint32))
         new_leaves.append(arr)
     carry = jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -1,0 +1,106 @@
+"""Adaptation converges to the optimal scale/acceptance on a known target."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nestmc import (
+    KernelConfig,
+    RunConfig,
+    SamplerConfig,
+    sample,
+)
+from nestmc.model import Block, ModelSpec
+
+
+def std_normal_model(d: int) -> ModelSpec:
+    """Single-block standard-normal target in R^d (no data)."""
+
+    def cond(name, value, state, data):
+        return -0.5 * jnp.sum(value * value, axis=tuple(range(1, value.ndim)))
+
+    def joint(state, data):
+        return cond("x", state["x"], state, data)
+
+    def init_state(key, data, chains):
+        shape = (chains, d) if d > 1 else (chains,)
+        return {"x": 2.0 * jax.random.normal(key, shape)}
+
+    return ModelSpec(
+        name=f"std_normal_{d}d",
+        blocks=(Block("x", (d,) if d > 1 else (), init_scale=1.0),),
+        cond_logdensity=cond,
+        joint_logdensity=joint,
+        init_state=init_state,
+    )
+
+
+@pytest.mark.parametrize("d,target", [(1, 0.44), (5, 0.234)])
+def test_rw_scale_converges(d, target):
+    model = std_normal_model(d)
+    cfg = SamplerConfig(
+        run=RunConfig(
+            chains=64, warmup=1500, draws=500, seed=3,
+            log_every_segment=False,
+        ),
+    )
+    post = sample(model, None, cfg)
+    acc = float(jnp.mean(post.accept_rates["x"]))
+    assert abs(acc - target) < 0.06, f"acceptance {acc} vs target {target}"
+    # optimal RW scale for a unit-variance d-dim Gaussian ~ 2.38/sqrt(d)
+    s = float(jnp.exp(post.final_state.log_scale["x"]).mean())
+    opt = 2.38 / np.sqrt(d)
+    assert 0.6 * opt < s < 1.6 * opt, f"scale {s} vs optimum {opt}"
+
+
+def test_mala_acceptance_converges():
+    model = std_normal_model(2)
+    cfg = SamplerConfig(
+        kernel=KernelConfig(algorithm="mala"),
+        run=RunConfig(
+            chains=64, warmup=1500, draws=500, seed=4,
+            log_every_segment=False,
+        ),
+    )
+    post = sample(model, None, cfg)
+    acc = float(jnp.mean(post.accept_rates["x"]))
+    assert abs(acc - 0.574) < 0.08, f"MALA acceptance {acc}"
+
+
+def test_diag_precond_learns_anisotropy():
+    """Target N(0, diag(1, 100)): preconditioned RW should reach near-target
+    acceptance AND mix both coordinates (plain RW would crawl on x2)."""
+
+    def cond(name, value, state, data):
+        z = value / jnp.array([1.0, 10.0])
+        return -0.5 * jnp.sum(z * z, axis=-1)
+
+    def init_state(key, data, chains):
+        return {"x": jax.random.normal(key, (chains, 2))}
+
+    model = ModelSpec(
+        name="aniso",
+        blocks=(Block("x", (2,), init_scale=1.0),),
+        cond_logdensity=cond,
+        joint_logdensity=lambda s, d: cond("x", s["x"], s, d),
+        init_state=init_state,
+    )
+    cfg = SamplerConfig(
+        kernel=KernelConfig(precond="diag"),
+        run=RunConfig(
+            chains=64, warmup=2500, draws=1000, seed=5,
+            log_every_segment=False,
+        ),
+    )
+    post = sample(model, None, cfg)
+    acc = float(jnp.mean(post.accept_rates["x"]))
+    assert abs(acc - 0.234) < 0.08
+    # the learned per-coordinate std should reflect the 1:10 anisotropy
+    var = post.final_state.precond["x"]["var"]
+    ratio = float(jnp.sqrt(jnp.mean(var[:, 1]) / jnp.mean(var[:, 0])))
+    assert ratio > 3.0, f"preconditioner ratio {ratio}, want ~10"
+    # and the wide coordinate should actually mix
+    sd2 = float(jnp.std(post.draws["x"][..., 1]))
+    assert 6.0 < sd2 < 14.0
