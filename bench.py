@@ -1,0 +1,90 @@
+"""Driver benchmark: the judged metric on the judged model.
+
+Runs the 1k-group hierarchical logistic model (BASELINE.json:2) on whatever
+hardware is available and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: effective samples/sec/chip = sum of bulk-ESS over all collected
+scalar parameters / sampling wall-seconds / chips. Conventions (fixed once,
+SURVEY.md section 7.3 item 6): compile time excluded (reported separately in
+stderr), warmup time excluded from the denominator, ESS measured on retained
+draws only, collected params = mu (4) + log_tau (4) + first 8 groups' beta
+(32) = 40 scalars.
+
+Baseline: the reference publishes no numbers (BASELINE.json:13 "published":
+{}); the anchor is the driver's north-star target of >= 1M aggregate
+effective samples/sec on v5e-8, i.e. 125k ESS/s/chip. vs_baseline is
+value / 125_000 — >= 1.0 means the north-star per-chip rate is met.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    os.environ.setdefault("NESTMC_BENCH", "1")
+    import jax
+
+    import nestmc  # noqa: F401  (enables partitionable RNG)
+    from nestmc.config import RunConfig, SamplerConfig, ShardingConfig
+    from nestmc.engine import sample
+    from nestmc.models import make_hier_logistic, synth_logistic
+
+    n_dev = jax.device_count()
+    backend = jax.default_backend()
+
+    # The judged model: 1k groups x 50 obs, p=4.
+    data, _ = synth_logistic(jax.random.key(2000), G=1000, n=50, p=4)
+    chains_per_chip = int(os.environ.get("NESTMC_BENCH_CHAINS_PER_CHIP", 256))
+    warmup = int(os.environ.get("NESTMC_BENCH_WARMUP", 400))
+    draws = int(os.environ.get("NESTMC_BENCH_DRAWS", 768))
+    cfg = SamplerConfig(
+        run=RunConfig(
+            chains=chains_per_chip * n_dev,
+            warmup=warmup,
+            draws=draws,
+            seed=0,
+            segment_size=256,
+            collect={"mu": None, "log_tau": None, "beta": 8},
+            log_every_segment=False,
+        ),
+        sharding=ShardingConfig(chain_shards=n_dev),
+    )
+    model = make_hier_logistic(data)
+
+    t0 = time.perf_counter()
+    post = sample(model, data, cfg)
+    wall = time.perf_counter() - t0
+
+    sample_s = post.timings["sample_s"]
+    total_ess = post.total_ess()
+    worst_rhat = post.worst_rhat()
+    value = total_ess / sample_s / n_dev
+
+    print(
+        f"[bench] backend={backend} devices={n_dev} "
+        f"chains={cfg.run.chains} wall={wall:.1f}s "
+        f"sample={sample_s:.2f}s warmup={post.timings['warmup_s']:.2f}s "
+        f"compile={post.timings.get('warmup_compile_s', 0) + post.timings.get('sample_compile_s', 0):.1f}s "
+        f"total_ess={total_ess:.0f} min_ess={post.min_ess():.0f} "
+        f"worst_rhat={worst_rhat:.4f} "
+        f"sweeps/s={(warmup + draws) / (post.timings['warmup_s'] + sample_s):.0f}",
+        file=sys.stderr,
+    )
+
+    print(json.dumps({
+        "metric": "effective_samples_per_sec_per_chip "
+                  "(1k-group hierarchical logistic; worst split R-hat "
+                  f"{worst_rhat:.4f})",
+        "value": round(value, 1),
+        "unit": "ESS/s/chip",
+        "vs_baseline": round(value / 125_000.0, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,176 @@
+"""Command-line interface: ``python -m nestmc run --preset hier-logistic-1k``.
+
+Subcommands:
+  run           run a named preset (with overrides) and print summaries
+  list-presets  show available presets
+Flags of note: --profile DIR (jax.profiler trace), --debug-nans,
+--checkpoint-dir/--resume (restart recovery), --scale (shrink a preset for
+smoke tests), --metric-json (emit the benchmark metric line).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+
+
+def _build_parser():
+    p = argparse.ArgumentParser(
+        prog="nestmc", description="TPU-native MCMC for nested data"
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run a preset")
+    r.add_argument("--preset", required=True)
+    r.add_argument("--scale", type=float, default=1.0,
+                   help="shrink factor for draws/warmup (and synth sizes)")
+    r.add_argument("--chains", type=int)
+    r.add_argument("--warmup", type=int)
+    r.add_argument("--draws", type=int)
+    r.add_argument("--thin", type=int)
+    r.add_argument("--seed", type=int)
+    r.add_argument("--segment-size", type=int)
+    r.add_argument("--algorithm", choices=["rwmh", "mala"])
+    r.add_argument("--precond", choices=["none", "diag"])
+    r.add_argument("--chain-shards", type=int)
+    r.add_argument("--group-shards", type=int)
+    r.add_argument("--checkpoint-dir")
+    r.add_argument("--checkpoint-every", type=int)
+    r.add_argument("--resume", action="store_true",
+                   help="resume from latest checkpoint in --checkpoint-dir")
+    r.add_argument("--profile", metavar="DIR",
+                   help="write a jax.profiler trace to DIR")
+    r.add_argument("--debug-nans", action="store_true")
+    r.add_argument("--metric-json", action="store_true",
+                   help="print the benchmark metric as one JSON line")
+    r.add_argument("--quiet", action="store_true")
+
+    sub.add_parser("list-presets", help="list available presets")
+    return p
+
+
+def _apply_overrides(cfg, args):
+    from nestmc.config import KernelConfig, RunConfig, ShardingConfig
+
+    run_over = {
+        k: getattr(args, k)
+        for k in ("chains", "warmup", "draws", "thin", "seed",
+                  "checkpoint_dir", "checkpoint_every")
+        if getattr(args, k, None) is not None
+    }
+    if args.segment_size is not None:
+        run_over["segment_size"] = args.segment_size
+    if args.quiet:
+        run_over["log_every_segment"] = False
+    kern_over = {
+        k: getattr(args, k)
+        for k in ("algorithm", "precond")
+        if getattr(args, k, None) is not None
+    }
+    shard_over = {
+        k: getattr(args, k)
+        for k in ("chain_shards", "group_shards")
+        if getattr(args, k, None) is not None
+    }
+    return dataclasses.replace(
+        cfg,
+        run=dataclasses.replace(cfg.run, **run_over),
+        kernel=dataclasses.replace(cfg.kernel, **kern_over),
+        sharding=dataclasses.replace(cfg.sharding, **shard_over),
+    )
+
+
+def cmd_run(args) -> int:
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    from nestmc.checkpoint import latest_tag, load_checkpoint
+    from nestmc.engine import sample
+    from nestmc.kernels.state import init_kernel_state
+    from nestmc.presets import get_preset
+
+    model, data, cfg = get_preset(
+        args.preset, seed=args.seed or 0, scale=args.scale
+    )
+    cfg = _apply_overrides(cfg, args)
+
+    init_state = None
+    skip_warmup = False
+    if args.resume:
+        ckdir = cfg.run.checkpoint_dir
+        tag = latest_tag(ckdir) if ckdir else None
+        if tag is None:
+            print(f"no checkpoint found in {ckdir!r}", file=sys.stderr)
+            return 2
+        template = init_kernel_state(
+            model, cfg, jax.random.key(cfg.run.seed), data
+        )
+        init_state, meta = load_checkpoint(ckdir, tag, template)
+        skip_warmup = meta.get("phase") == "sample"
+        print(f"resuming from {tag} (phase={meta.get('phase')})",
+              file=sys.stderr)
+
+    profile_ctx = None
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+        profile_ctx = args.profile
+
+    t0 = time.perf_counter()
+    post = sample(
+        model, data, cfg,
+        init_state=init_state, skip_warmup=skip_warmup,
+    )
+    wall = time.perf_counter() - t0
+
+    if profile_ctx:
+        jax.profiler.stop_trace()
+        print(f"profile trace written to {profile_ctx}", file=sys.stderr)
+
+    if not args.metric_json:
+        print(post.summary_table())
+        print(f"\nworst R-hat: {post.worst_rhat():.4f}")
+        print(f"wall: {wall:.1f}s  timings: "
+              + json.dumps({k: round(v, 2)
+                            for k, v in post.timings.items()}))
+    else:
+        n_chips = max(
+            cfg.sharding.chain_shards * cfg.sharding.group_shards, 1
+        )
+        sample_s = max(post.timings.get("sample_s", wall), 1e-9)
+        total_ess = post.total_ess()
+        print(json.dumps({
+            "preset": args.preset,
+            "metric": "effective_samples_per_sec_per_chip",
+            "value": total_ess / sample_s / n_chips,
+            "unit": "ESS/s/chip",
+            "total_ess": total_ess,
+            "min_ess": post.min_ess(),
+            "worst_rhat": post.worst_rhat(),
+            "sample_s": sample_s,
+            "timings": post.timings,
+            "backend": jax.default_backend(),
+            "n_devices": jax.device_count(),
+            "config": post.config,
+        }, default=str))
+    return 0
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.cmd == "list-presets":
+        from nestmc.presets import PRESETS
+        for name, fn in PRESETS.items():
+            print(f"{name:<22} {fn.__doc__.strip().splitlines()[0]}")
+        return 0
+    if args.cmd == "run":
+        return cmd_run(args)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
