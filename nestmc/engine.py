@@ -30,15 +30,25 @@ log = get_logger()
 
 
 def _collector(model: ModelSpec, cfg: SamplerConfig):
-    """position -> dict of draw slices to retain, per RunConfig.collect."""
+    """position -> dict of draw slices to retain, per RunConfig.collect.
+
+    Collectable names: block names and model.derived names. Derived
+    quantities are computed on device inside the scan (no extra pass).
+    """
     spec = cfg.run.collect
 
     def collect(position):
         if spec is None:
-            return dict(position)
+            out = dict(position)
+            for name, fn in model.derived.items():
+                out[name] = fn(position)
+            return out
         out = {}
         for name, k in spec.items():
-            v = position[name]
+            if name in model.derived:
+                v = model.derived[name](position)
+            else:
+                v = position[name]
             out[name] = v if k is None else v[:, :k]
         return out
 

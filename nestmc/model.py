@@ -96,6 +96,10 @@ class ModelSpec:
       loglik_impls: named fast implementations of the hot likelihood term,
         e.g. {"pallas": fn}; the kernel config selects one, the default jnp
         path is always available inside cond_logdensity.
+      derived: {name: fn(position) -> (C, ...)} deterministic quantities
+        computed from the state at draw-collection time (e.g. the centered
+        theta = mu + tau * z of a non-centered parameterization). Collectable
+        by name like any block.
     """
 
     name: str
@@ -107,6 +111,7 @@ class ModelSpec:
     sample_data: Callable | None = None
     cond_value_and_grad: Callable | None = None
     loglik_impls: dict = dataclasses.field(default_factory=dict)
+    derived: dict = dataclasses.field(default_factory=dict)
 
     def block(self, name: str) -> Block:
         for b in self.blocks:

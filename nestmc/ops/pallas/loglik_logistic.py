@@ -1,0 +1,153 @@
+"""Fused Bernoulli-logit log-likelihood (and +grad) Pallas TPU kernels.
+
+Computes ll[c, g] = sum_i mask[g,i] * (y[g,i]*eta - softplus(eta)),
+eta = x[g,i,:] . beta[c,g,:], over the full chains x groups x obs lattice.
+
+Layout strategy: the chains axis is the hardware lane axis. Inputs are
+transposed once outside the kernel to chains-minor layouts —
+beta (C,G,p) -> (G,p,C) — so every VMEM tile has a 128-aligned last dim and
+the per-group contraction runs as an (n, p) x (p, TC) matmul on the MXU.
+The (C, G, n) eta tensor exists only tile-wise in VMEM; HBM sees beta once
+and the (G, C) output once (BASELINE.json:5 "fused Pallas kernels over the
+chains x groups x observations lattice").
+
+Grid: (G/TG, C/TC), groups-major so the per-group data tiles (x, y, mask)
+are revisited (and kept resident) across the inner chain sweep.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import nn
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tile(total: int, candidates) -> int:
+    for t in candidates:
+        if total % t == 0:
+            return t
+    return total
+
+
+def _pad_groups(arrs, G, TG):
+    """Zero-pad the leading G axis of each array to a TG multiple."""
+    Gp = ((G + TG - 1) // TG) * TG
+    if Gp == G:
+        return arrs, G
+    out = []
+    for a in arrs:
+        pad = [(0, Gp - G)] + [(0, 0)] * (a.ndim - 1)
+        out.append(jnp.pad(a, pad))
+    return out, Gp
+
+
+def _loglik_kernel(x_ref, y_ref, mask_ref, beta_ref, out_ref):
+    # x (TG, n, p); y, mask (TG, n); beta (TG, p, TC); out (TG, TC)
+    eta = jax.lax.dot_general(
+        x_ref[:], beta_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (TG, n, TC)
+    y = y_ref[:][:, :, None]
+    m = mask_ref[:][:, :, None]
+    ll = (y * eta - nn.softplus(eta)) * m
+    out_ref[:] = jnp.sum(ll, axis=1)
+
+
+def logistic_loglik_padded_pallas(beta, x, y, mask, interpret: bool | None = None):
+    """Same contract as ops.loglik.logistic_loglik_padded: (C,G,p)->(C,G)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    C, G, p = beta.shape
+    n = x.shape[1]
+    TC = _pick_tile(C, (256, 128, 64, 32, 16, 8))
+    TG = _pick_tile(G, (8, 16, 4, 32, 2))
+    bt = jnp.transpose(beta, (1, 2, 0))  # (G, p, C)
+    (x_p, y_p, mask_p, bt_p), Gp = _pad_groups([x, y, mask, bt], G, TG)
+
+    grid = (Gp // TG, C // TC)
+    out = pl.pallas_call(
+        _loglik_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TG, n, p), lambda g, c: (g, 0, 0)),
+            pl.BlockSpec((TG, n), lambda g, c: (g, 0)),
+            pl.BlockSpec((TG, n), lambda g, c: (g, 0)),
+            pl.BlockSpec((TG, p, TC), lambda g, c: (g, 0, c)),
+        ],
+        out_specs=pl.BlockSpec((TG, TC), lambda g, c: (g, c)),
+        out_shape=jax.ShapeDtypeStruct((Gp, C), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * C * Gp * n * p + 4 * C * Gp * n,
+            bytes_accessed=4 * (Gp * n * p + 2 * Gp * n + C * Gp * p
+                                + C * Gp),
+            transcendentals=C * Gp * n,
+        ),
+    )(x_p, y_p, mask_p, bt_p)
+    return out[:G].T  # (C, G)
+
+
+def _logp_grad_kernel(x_ref, y_ref, mask_ref, beta_ref, out_ref, gout_ref):
+    # grad[c,g,:] = sum_i mask * x[g,i,:] * (y - sigmoid(eta))
+    eta = jax.lax.dot_general(
+        x_ref[:], beta_ref[:],
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (TG, n, TC)
+    y = y_ref[:][:, :, None]
+    m = mask_ref[:][:, :, None]
+    ll = (y * eta - nn.softplus(eta)) * m
+    out_ref[:] = jnp.sum(ll, axis=1)
+    resid = (y - nn.sigmoid(eta)) * m  # (TG, n, TC)
+    gout_ref[:] = jax.lax.dot_general(
+        x_ref[:], resid,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (TG, p, TC)
+
+
+def logistic_logp_grad_pallas(beta, x, y, mask, interpret: bool | None = None):
+    """Fused value+grad for MALA: ((C,G), (C,G,p)) in one pass over obs.
+
+    Saves the second obs-axis pass (and eta rematerialization) that
+    jax.vjp of the jnp path would do (BASELINE.json:11).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    C, G, p = beta.shape
+    n = x.shape[1]
+    TC = _pick_tile(C, (256, 128, 64, 32, 16, 8))
+    TG = _pick_tile(G, (8, 16, 4, 32, 2))
+    bt = jnp.transpose(beta, (1, 2, 0))
+    (x_p, y_p, mask_p, bt_p), Gp = _pad_groups([x, y, mask, bt], G, TG)
+
+    grid = (Gp // TG, C // TC)
+    out, gout = pl.pallas_call(
+        _logp_grad_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TG, n, p), lambda g, c: (g, 0, 0)),
+            pl.BlockSpec((TG, n), lambda g, c: (g, 0)),
+            pl.BlockSpec((TG, n), lambda g, c: (g, 0)),
+            pl.BlockSpec((TG, p, TC), lambda g, c: (g, 0, c)),
+        ],
+        out_specs=[
+            pl.BlockSpec((TG, TC), lambda g, c: (g, c)),
+            pl.BlockSpec((TG, p, TC), lambda g, c: (g, 0, c)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Gp, C), jnp.float32),
+            jax.ShapeDtypeStruct((Gp, p, C), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * C * Gp * n * p + 6 * C * Gp * n,
+            bytes_accessed=4 * (Gp * n * p + 2 * Gp * n
+                                + 2 * C * Gp * p + C * Gp),
+            transcendentals=2 * C * Gp * n,
+        ),
+    )(x_p, y_p, mask_p, bt_p)
+    return out[:G].T, jnp.transpose(gout[:G], (2, 0, 1))
