@@ -46,6 +46,7 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
         log_scale = dict(state.log_scale)
         precond = dict(state.precond)
         accept_sum = dict(state.accept_sum)
+        cache = dict(state.cache)
         t = state.t
 
         for i, block in enumerate(model.blocks):
@@ -55,10 +56,12 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
             kb = jax.random.fold_in(key_sweep, i)
             pstd = precond_std(precond[name], cfg.kernel)
 
-            new_value, alpha = update(
-                kb, block, model, position, log_scale[name], pstd, data
+            new_value, alpha, new_cache = update(
+                kb, block, model, position, log_scale[name], pstd, data,
+                cache=cache.get(name),
             )
             position[name] = new_value
+            cache[name] = new_cache
             accept_sum[name] = accept_sum[name] + alpha
 
             if adapt:
@@ -80,6 +83,7 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
             log_scale=log_scale,
             precond=precond,
             accept_sum=accept_sum,
+            cache=cache,
             t=t + 1,
             key=key,
         )

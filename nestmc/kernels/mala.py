@@ -42,7 +42,7 @@ def _sq_norm_per_unit(x, block: Block):
 
 
 def mala_update(key, block: Block, model: ModelSpec, position, log_scale,
-                pstd, data):
+                pstd, data, cache=None):
     """One MALA update of ``block`` for all chains (and units).
 
     ``pstd`` (diagonal preconditioner std) acts as a per-coordinate mass
@@ -83,4 +83,4 @@ def mala_update(key, block: Block, model: ModelSpec, position, log_scale,
     ))
     accept = logu < log_alpha
     new_value = select_accepted(accept, prop, value, block)
-    return new_value, accept_prob(log_alpha)
+    return new_value, accept_prob(log_alpha), None

@@ -50,7 +50,7 @@ def select_accepted(accept_cu, prop, value, block: Block):
 
 
 def rwmh_update(key, block: Block, model: ModelSpec, position, log_scale,
-                pstd, data):
+                pstd, data, cache=None):
     """One RW-MH update of ``block`` for all chains (and units).
 
     Args:
@@ -58,8 +58,11 @@ def rwmh_update(key, block: Block, model: ModelSpec, position, log_scale,
       log_scale: (C, U') log proposal scales for this block.
       pstd: optional value-shaped proposal std multiplier (diagonal
         preconditioner), or None.
+      cache: (C, U) carried self-conditional of the CURRENT value when the
+        model declares a cond_cached split for this block (halves hot
+        evaluations: only the proposal's self part is computed).
 
-    Returns (new_value, alpha) with alpha: (C, U) acceptance probabilities.
+    Returns (new_value, alpha, new_cache); alpha: (C, U) acceptance probs.
     """
     value = position[block.name]
     k_eps, k_u = jax.random.split(key)
@@ -69,12 +72,18 @@ def rwmh_update(key, block: Block, model: ModelSpec, position, log_scale,
     step = bcast_over_unit_shape(jnp.exp(log_scale), block) * eps
     prop = value + step
 
-    d_new = as_cu(
-        model.cond_logdensity(block.name, prop, position, data), block
-    )
-    d_old = as_cu(
-        model.cond_logdensity(block.name, value, position, data), block
-    )
+    if cache is not None:
+        self_fn, rest_fn = model.cond_cached[block.name]
+        self_new = as_cu(self_fn(prop, data), block)
+        d_new = self_new + as_cu(rest_fn(prop, position, data), block)
+        d_old = cache + as_cu(rest_fn(value, position, data), block)
+    else:
+        d_new = as_cu(
+            model.cond_logdensity(block.name, prop, position, data), block
+        )
+        d_old = as_cu(
+            model.cond_logdensity(block.name, value, position, data), block
+        )
     log_alpha = d_new - d_old
 
     logu = jnp.log(jax.random.uniform(
@@ -82,4 +91,7 @@ def rwmh_update(key, block: Block, model: ModelSpec, position, log_scale,
     ))
     accept = logu < log_alpha  # NaN log_alpha compares False -> reject
     new_value = select_accepted(accept, prop, value, block)
-    return new_value, accept_prob(log_alpha)
+    new_cache = None
+    if cache is not None:
+        new_cache = jnp.where(accept, self_new, cache)
+    return new_value, accept_prob(log_alpha), new_cache

@@ -30,6 +30,9 @@ class KernelState:
     precond:    {name: None | {mean, var, count}} EMA moments for diagonal
                 preconditioning.
     accept_sum: {name: (C, U)} cumulative acceptance probabilities.
+    cache:      {name: (C, U) | None} carried self-conditional values
+                (e.g. the data log-likelihood of the current position) for
+                blocks declared in ModelSpec.cond_cached.
     t:          () int32 — sweeps taken (drives the RM schedule).
     key:        PRNG key (threefry, partitionable across shardings).
     """
@@ -38,13 +41,16 @@ class KernelState:
     log_scale: dict
     precond: dict
     accept_sum: dict
+    cache: dict
     t: jnp.ndarray
     key: jax.Array
 
 
 jax.tree_util.register_dataclass(
     KernelState,
-    data_fields=["position", "log_scale", "precond", "accept_sum", "t", "key"],
+    data_fields=[
+        "position", "log_scale", "precond", "accept_sum", "cache", "t", "key",
+    ],
     meta_fields=[],
 )
 
@@ -68,7 +74,7 @@ def init_kernel_state(
     if position is None:
         position = model.init_state(k_init, data, chains)
     dtype = jnp.result_type(*jax.tree_util.tree_leaves(position))
-    log_scale, precond, accept_sum = {}, {}, {}
+    log_scale, precond, accept_sum, cache = {}, {}, {}, {}
     for b in model.blocks:
         u = scale_units(b, cfg)
         # 2.38/sqrt(d) is the RW-optimal scale for a unit-variance target;
@@ -77,11 +83,20 @@ def init_kernel_state(
         log_scale[b.name] = jnp.full((chains, u), math.log(s0), dtype)
         precond[b.name] = init_precond(position[b.name], cfg.kernel)
         accept_sum[b.name] = jnp.zeros((chains, max(b.units, 1)), dtype)
+        if b.name in model.cond_cached and (
+            (b.algorithm or cfg.kernel.algorithm) == "rwmh"
+        ):
+            self_fn, _ = model.cond_cached[b.name]
+            val = self_fn(position[b.name], data)
+            cache[b.name] = val if b.units else val[:, None]
+        else:
+            cache[b.name] = None
     return KernelState(
         position=position,
         log_scale=log_scale,
         precond=precond,
         accept_sum=accept_sum,
+        cache=cache,
         t=jnp.zeros((), jnp.int32),
         key=k_carry,
     )

@@ -100,6 +100,14 @@ class ModelSpec:
         computed from the state at draw-collection time (e.g. the centered
         theta = mu + tau * z of a non-centered parameterization). Collectable
         by name like any block.
+      cond_cached: {block_name: (self_fn, rest_fn)} optional split of that
+        block's conditional into a SELF-CONTAINED part
+        ``self_fn(value, data) -> (C, U)`` that depends on no other block
+        (typically the data likelihood) and the remainder
+        ``rest_fn(value, state, data) -> (C, U)``. The RW-MH kernel then
+        carries the self part of the CURRENT value across sweeps — other
+        blocks can never invalidate it — halving hot likelihood evaluations
+        per sweep (one per proposal instead of proposal+current).
     """
 
     name: str
@@ -112,6 +120,7 @@ class ModelSpec:
     cond_value_and_grad: Callable | None = None
     loglik_impls: dict = dataclasses.field(default_factory=dict)
     derived: dict = dataclasses.field(default_factory=dict)
+    cond_cached: dict = dataclasses.field(default_factory=dict)
 
     def block(self, name: str) -> Block:
         for b in self.blocks:

@@ -65,28 +65,53 @@ def make_hier_logistic(
     p = data.num_covariates
     lik_fn, chosen = _resolve_loglik(data, loglik_impl)
 
+    _LOG_2PI = 1.8378770664093453
+
     def _gprior(state):
         beta = state["beta"]                      # (C, G, p)
         mu = state["mu"][:, None, :]              # (C, 1, p)
         tau = jnp.exp(state["log_tau"])[:, None, :]
         return jnp.sum(logpdf_normal(beta, mu, tau), axis=-1)  # (C, G)
 
+    def _gprior_sum_from_suff(s1, s2, mu, log_tau):
+        """sum_g sum_k log N(beta_gk | mu_k, tau_k) from sufficient stats
+        s1 = sum_g beta, s2 = sum_g beta^2 (each (C, p)).
+
+        The population-block conditionals touch beta ONLY through (s1, s2);
+        within one jit-traced sweep, XLA CSE computes the (C,G,p) reductions
+        once and every pop-block evaluation reuses them — O(C p) per
+        proposal instead of O(C G p) (the suff-stat hyper-update of
+        SURVEY.md section 3.2; the psum over a sharded groups axis happens
+        once, inside the s1/s2 reductions).
+        """
+        tau2 = jnp.exp(2.0 * log_tau)
+        quad = s2 - 2.0 * mu * s1 + G * mu * mu     # (C, p)
+        return jnp.sum(
+            -0.5 * quad / tau2 - G * log_tau - 0.5 * G * _LOG_2PI, axis=-1
+        )
+
     def cond(name, value, state, data):
         state = {**state, name: value}
         if name == "beta":
             return lik_fn(state["beta"], data) + _gprior(state)
+        s1 = jnp.sum(state["beta"], axis=1)       # (C, p) — CSE'd per sweep
+        s2 = jnp.sum(state["beta"] ** 2, axis=1)  # (C, p)
         if name == "mu":
             pprior = jnp.sum(
                 logpdf_normal(state["mu"], 0.0, prior_mu_scale), axis=-1
             )
-            return jnp.sum(_gprior(state), axis=-1) + pprior
+            return _gprior_sum_from_suff(
+                s1, s2, state["mu"], state["log_tau"]
+            ) + pprior
         if name == "log_tau":
             tau = jnp.exp(state["log_tau"])
             pprior = jnp.sum(
                 logpdf_halfnormal(tau, prior_tau_scale) + state["log_tau"],
                 axis=-1,
             )
-            return jnp.sum(_gprior(state), axis=-1) + pprior
+            return _gprior_sum_from_suff(
+                s1, s2, state["mu"], state["log_tau"]
+            ) + pprior
         raise KeyError(name)
 
     def joint(state, data):
@@ -148,6 +173,15 @@ def make_hier_logistic(
         prior_sample=prior_sample,
         sample_data=sample_data,
         loglik_impls={"selected": chosen},
+        # beta's conditional = lik(beta) + gprior(beta, mu, tau); lik depends
+        # on no other block, so the kernel carries it across sweeps — one
+        # likelihood evaluation per sweep instead of two.
+        cond_cached={
+            "beta": (
+                lambda v, data: lik_fn(v, data),
+                lambda v, state, data: _gprior({**state, "beta": v}),
+            ),
+        },
     )
 
 

@@ -170,6 +170,14 @@ def make_nested_poisson(
         prior_sample=prior_sample,
         sample_data=sample_data,
         loglik_impls={"selected": chosen},
+        # the obs-level likelihood depends only on beta_s — carried across
+        # sweeps so each sweep evaluates it once (for the proposal).
+        cond_cached={
+            "beta_s": (
+                lambda v, data: lik_fn(v, data, lgamma_y),
+                lambda v, state, data: _sprior({**state, "beta_s": v}),
+            ),
+        },
     )
 
 

@@ -62,6 +62,7 @@ def state_shardings(model, cfg: SamplerConfig, mesh: Mesh):
         return NamedSharding(mesh, P(*spec))
 
     position, log_scale, precond, accept_sum = {}, {}, {}, {}
+    cache = {}
     for b in model.blocks:
         gsh = _grouped_shardable(b, cfg)
         val_spec = ("chains", "groups") if gsh else ("chains",)
@@ -75,6 +76,12 @@ def state_shardings(model, cfg: SamplerConfig, mesh: Mesh):
         accept_sum[b.name] = (
             ns("chains", "groups") if gsh else ns("chains")
         )
+        cached = b.name in model.cond_cached and (
+            (b.algorithm or cfg.kernel.algorithm) == "rwmh"
+        )
+        cache[b.name] = (
+            ns("chains", "groups") if gsh else ns("chains")
+        ) if cached else None
         if cfg.kernel.precond == "diag":
             precond[b.name] = {
                 "mean": val, "var": val, "count": ns("chains"),
@@ -88,6 +95,7 @@ def state_shardings(model, cfg: SamplerConfig, mesh: Mesh):
         log_scale=log_scale,
         precond=precond,
         accept_sum=accept_sum,
+        cache=cache,
         t=ns(),
         key=ns(),
     )
