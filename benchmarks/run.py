@@ -1,0 +1,103 @@
+"""Benchmark harness: run any preset (or all), emit structured JSON.
+
+    python -m benchmarks.run --preset hier-logistic-1k
+    python -m benchmarks.run --all --scale 0.25 --out benchmarks/results
+
+Metric conventions (fixed; see bench.py): ESS measured on retained draws
+only; sampling wall-time as denominator; compile + warmup reported
+separately; both sum-ESS and min-ESS rates emitted; worst split R-hat must
+be printed next to any throughput number.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import platform
+import subprocess
+import time
+
+
+def run_preset(name: str, scale: float, seed: int) -> dict:
+    import jax
+
+    from nestmc.engine import sample
+    from nestmc.presets import get_preset
+
+    model, data, cfg = get_preset(name, seed=seed, scale=scale)
+    t0 = time.perf_counter()
+    post = sample(model, data, cfg)
+    wall = time.perf_counter() - t0
+    n_chips = jax.device_count()
+    sample_s = max(post.timings.get("sample_s", wall), 1e-9)
+    total_sweeps = cfg.run.warmup + cfg.run.draws * max(1, cfg.run.thin)
+    hot_s = post.timings.get("warmup_s", 0.0) + sample_s
+    return {
+        "preset": name,
+        "scale": scale,
+        "model": model.name,
+        "loglik_impl": model.loglik_impls.get("selected", "jnp"),
+        "backend": jax.default_backend(),
+        "n_devices": n_chips,
+        "chains": cfg.run.chains,
+        "warmup": cfg.run.warmup,
+        "draws": cfg.run.draws,
+        "total_ess": post.total_ess(),
+        "min_ess": post.min_ess(),
+        "worst_rhat": post.worst_rhat(),
+        "ess_per_sec_per_chip": post.total_ess() / sample_s / n_chips,
+        "min_ess_per_sec_per_chip": post.min_ess() / sample_s / n_chips,
+        "sweeps_per_sec": total_sweeps / max(hot_s, 1e-9),
+        "accept_rates": {
+            k: float(v.mean()) for k, v in post.accept_rates.items()
+        },
+        "timings": {k: round(v, 4) for k, v in post.timings.items()},
+        "wall_s": round(wall, 2),
+        "config": post.config,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset")
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", help="directory for result JSON files")
+    args = ap.parse_args()
+
+    from nestmc.presets import PRESETS
+
+    names = list(PRESETS) if args.all else [args.preset]
+    if not names or names[0] is None:
+        ap.error("--preset NAME or --all required")
+
+    meta = {
+        "host": platform.node(),
+        "time": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "git": subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+        ).stdout.strip(),
+    }
+    results = []
+    for name in names:
+        res = run_preset(name, args.scale, args.seed)
+        res["meta"] = meta
+        print(json.dumps(res, default=str))
+        results.append(res)
+        if args.out:
+            os.makedirs(args.out, exist_ok=True)
+            fn = os.path.join(
+                args.out,
+                f"{name}_{meta['git'] or 'nogit'}_"
+                f"{time.strftime('%Y%m%d_%H%M%S')}.json",
+            )
+            with open(fn, "w") as f:
+                json.dump(res, f, indent=2, default=str)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

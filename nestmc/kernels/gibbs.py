@@ -51,9 +51,16 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
 
         for i, block in enumerate(model.blocks):
             name = block.name
+            kb = jax.random.fold_in(key_sweep, i)
+
+            if name in model.gibbs_draws:
+                # exact conditional draw: no proposal, acceptance = 1
+                position[name] = model.gibbs_draws[name](kb, position, data)
+                accept_sum[name] = accept_sum[name] + 1.0
+                continue
+
             algorithm = block.algorithm or cfg.kernel.algorithm
             update = _UPDATES[algorithm]
-            kb = jax.random.fold_in(key_sweep, i)
             pstd = precond_std(precond[name], cfg.kernel)
 
             new_value, alpha, new_cache = update(

@@ -100,6 +100,12 @@ class ModelSpec:
         computed from the state at draw-collection time (e.g. the centered
         theta = mu + tau * z of a non-centered parameterization). Collectable
         by name like any block.
+      gibbs_draws: {block_name: fn(key, state, data) -> new_value} EXACT
+        conditional samplers (conjugate draws). A block listed here is
+        updated by a direct draw from its full conditional instead of an MH
+        step — acceptance is 1 and no proposal-scale state is used. The
+        model author is responsible for the draw targeting the exact
+        conditional (validated by the Geweke/SBC/exactness test tiers).
       cond_cached: {block_name: (self_fn, rest_fn)} optional split of that
         block's conditional into a SELF-CONTAINED part
         ``self_fn(value, data) -> (C, U)`` that depends on no other block
@@ -121,6 +127,7 @@ class ModelSpec:
     loglik_impls: dict = dataclasses.field(default_factory=dict)
     derived: dict = dataclasses.field(default_factory=dict)
     cond_cached: dict = dataclasses.field(default_factory=dict)
+    gibbs_draws: dict = dataclasses.field(default_factory=dict)
 
     def block(self, name: str) -> Block:
         for b in self.blocks:

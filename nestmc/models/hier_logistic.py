@@ -73,46 +73,57 @@ def make_hier_logistic(
         tau = jnp.exp(state["log_tau"])[:, None, :]
         return jnp.sum(logpdf_normal(beta, mu, tau), axis=-1)  # (C, G)
 
-    def _gprior_sum_from_suff(s1, s2, mu, log_tau):
-        """sum_g sum_k log N(beta_gk | mu_k, tau_k) from sufficient stats
-        s1 = sum_g beta, s2 = sum_g beta^2 (each (C, p)).
+    def _gprior_perk_from_suff(s1, s2, mu, log_tau):
+        """sum_g log N(beta_gk | mu_k, tau_k) PER COORDINATE k, from the
+        sufficient stats s1 = sum_g beta, s2 = sum_g beta^2 (each (C, p)).
 
-        The population-block conditionals touch beta ONLY through (s1, s2);
-        within one jit-traced sweep, XLA CSE computes the (C,G,p) reductions
-        once and every pop-block evaluation reuses them — O(C p) per
-        proposal instead of O(C G p) (the suff-stat hyper-update of
-        SURVEY.md section 3.2; the psum over a sharded groups axis happens
-        once, inside the s1/s2 reductions).
+        Population blocks touch beta ONLY through (s1, s2); within one
+        jit-traced sweep XLA CSE computes the (C,G,p) reductions once and
+        every pop-block evaluation reuses them — O(C p) per proposal
+        instead of O(C G p) (the suff-stat hyper-update of SURVEY.md
+        section 3.2; the psum over a sharded groups axis happens once,
+        inside the s1/s2 reductions). Coordinates are conditionally
+        independent (diagonal prior), so log_tau updates per-coordinate
+        (units = p) with its own scale and accept decision per k.
         """
         tau2 = jnp.exp(2.0 * log_tau)
         quad = s2 - 2.0 * mu * s1 + G * mu * mu     # (C, p)
-        return jnp.sum(
-            -0.5 * quad / tau2 - G * log_tau - 0.5 * G * _LOG_2PI, axis=-1
-        )
+        return -0.5 * quad / tau2 - G * log_tau - 0.5 * G * _LOG_2PI
+
+    def _suff(beta):
+        return jnp.sum(beta, axis=1), jnp.sum(beta**2, axis=1)
 
     def cond(name, value, state, data):
         state = {**state, name: value}
         if name == "beta":
             return lik_fn(state["beta"], data) + _gprior(state)
-        s1 = jnp.sum(state["beta"], axis=1)       # (C, p) — CSE'd per sweep
-        s2 = jnp.sum(state["beta"] ** 2, axis=1)  # (C, p)
+        s1, s2 = _suff(state["beta"])             # (C, p) — CSE'd per sweep
         if name == "mu":
-            pprior = jnp.sum(
-                logpdf_normal(state["mu"], 0.0, prior_mu_scale), axis=-1
-            )
-            return _gprior_sum_from_suff(
+            pprior = logpdf_normal(state["mu"], 0.0, prior_mu_scale)
+            return _gprior_perk_from_suff(
                 s1, s2, state["mu"], state["log_tau"]
             ) + pprior
         if name == "log_tau":
             tau = jnp.exp(state["log_tau"])
-            pprior = jnp.sum(
-                logpdf_halfnormal(tau, prior_tau_scale) + state["log_tau"],
-                axis=-1,
+            pprior = (
+                logpdf_halfnormal(tau, prior_tau_scale) + state["log_tau"]
             )
-            return _gprior_sum_from_suff(
+            return _gprior_perk_from_suff(
                 s1, s2, state["mu"], state["log_tau"]
             ) + pprior
         raise KeyError(name)
+
+    def gibbs_mu(key, state, data):
+        """EXACT conjugate draw of mu | beta, tau (per coordinate):
+        beta_gk ~ N(mu_k, tau_k), mu_k ~ N(0, prior_mu_scale^2) =>
+        mu_k | . ~ N(s1_k/tau_k^2 / prec, 1/prec),
+        prec = G/tau_k^2 + 1/prior_mu_scale^2."""
+        s1, _ = _suff(state["beta"])
+        inv_tau2 = jnp.exp(-2.0 * state["log_tau"])
+        prec = G * inv_tau2 + 1.0 / prior_mu_scale**2
+        mean = s1 * inv_tau2 / prec
+        eps = jax.random.normal(key, mean.shape, mean.dtype)
+        return mean + eps / jnp.sqrt(prec)
 
     def joint(state, data):
         tau = jnp.exp(state["log_tau"])
@@ -164,8 +175,8 @@ def make_hier_logistic(
         name="hier_logistic",
         blocks=(
             Block("beta", (G, p), units=G, init_scale=0.3),
-            Block("mu", (p,), init_scale=0.2),
-            Block("log_tau", (p,), init_scale=0.2),
+            Block("mu", (p,), units=p, init_scale=0.2),      # conjugate draw
+            Block("log_tau", (p,), units=p, init_scale=0.2),  # per-coord MH
         ),
         cond_logdensity=cond,
         joint_logdensity=joint,
@@ -182,6 +193,7 @@ def make_hier_logistic(
                 lambda v, state, data: _gprior({**state, "beta": v}),
             ),
         },
+        gibbs_draws={"mu": gibbs_mu},
     )
 
 

@@ -94,6 +94,22 @@ def make_nested_poisson(
             )
         )
 
+    _LOG_2PI = 1.8378770664093453
+
+    # Sufficient statistics (C, p): CSE'd once per jit-traced sweep; the
+    # only cross-shard reductions the population updates need (one psum
+    # each when subjects/groups are sharded). Coordinates are conditionally
+    # independent (diagonal priors) -> hyper blocks update per-coordinate
+    # (units = p) with their own scales and accept decisions.
+    def _suff_g(state):
+        bg = state["beta_g"]
+        return jnp.sum(bg, axis=1), jnp.sum(bg**2, axis=1)
+
+    def _dev2_s(state):
+        bg_s = jnp.take(state["beta_g"], data.subject_group, axis=1)
+        d = state["beta_s"] - bg_s
+        return jnp.sum(d * d, axis=1)  # (C, p)
+
     def cond(name, value, state, data):
         state = {**state, name: value}
         if name == "beta_s":
@@ -103,13 +119,36 @@ def make_nested_poisson(
                 _segsum_cs_to_cg(_sprior(state), data.subject_group, G)
                 + _gprior(state)
             )
-        if name == "mu":
-            return jnp.sum(_gprior(state), axis=-1) + _pprior(state)
-        if name == "log_tau_g":
-            return jnp.sum(_gprior(state), axis=-1) + _pprior(state)
+        if name in ("mu", "log_tau_g"):
+            s1, s2 = _suff_g(state)
+            mu, lt = state["mu"], state["log_tau_g"]
+            quad = s2 - 2.0 * mu * s1 + G * mu * mu
+            base = (
+                -0.5 * quad * jnp.exp(-2.0 * lt) - G * lt
+                - 0.5 * G * _LOG_2PI
+            )  # (C, p) per-coordinate
+            if name == "mu":
+                return base + logpdf_normal(mu, 0.0, prior_mu_scale)
+            tau = jnp.exp(lt)
+            return base + logpdf_halfnormal(tau, prior_tau_scale) + lt
         if name == "log_tau_s":
-            return jnp.sum(_sprior(state), axis=-1) + _pprior(state)
+            d2 = _dev2_s(state)
+            lt = state["log_tau_s"]
+            tau = jnp.exp(lt)
+            return (
+                -0.5 * d2 * jnp.exp(-2.0 * lt) - S * lt - 0.5 * S * _LOG_2PI
+                + logpdf_halfnormal(tau, prior_tau_scale) + lt
+            )
         raise KeyError(name)
+
+    def gibbs_mu(key, state, data):
+        """Exact conjugate draw of mu | beta_g, tau_g (per coordinate)."""
+        s1, _ = _suff_g(state)
+        inv_tau2 = jnp.exp(-2.0 * state["log_tau_g"])
+        prec = G * inv_tau2 + 1.0 / prior_mu_scale**2
+        mean = s1 * inv_tau2 / prec
+        eps = jax.random.normal(key, mean.shape, mean.dtype)
+        return mean + eps / jnp.sqrt(prec)
 
     def joint(state, data):
         return (
@@ -160,9 +199,9 @@ def make_nested_poisson(
         blocks=(
             Block("beta_s", (S, p), units=S, init_scale=0.2),
             Block("beta_g", (G, p), units=G, init_scale=0.2),
-            Block("mu", (p,), init_scale=0.15),
-            Block("log_tau_g", (p,), init_scale=0.2),
-            Block("log_tau_s", (p,), init_scale=0.2),
+            Block("mu", (p,), units=p, init_scale=0.15),      # conjugate
+            Block("log_tau_g", (p,), units=p, init_scale=0.2),
+            Block("log_tau_s", (p,), units=p, init_scale=0.2),
         ),
         cond_logdensity=cond,
         joint_logdensity=joint,
@@ -178,6 +217,7 @@ def make_nested_poisson(
                 lambda v, state, data: _sprior({**state, "beta_s": v}),
             ),
         },
+        gibbs_draws={"mu": gibbs_mu},
     )
 
 

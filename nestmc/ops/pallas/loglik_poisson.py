@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.scipy.special import gammaln
 
-from nestmc.ops.pallas.loglik_logistic import _pad_groups, _pick_tile
+from nestmc.ops.pallas.loglik_logistic import _group_tile, _pad_groups, _pick_tile
 
 
 def _poisson_kernel(x_ref, y_ref, mask_ref, beta_ref, out_ref):
@@ -40,7 +40,7 @@ def poisson_loglik_padded_pallas(
         lgamma_y = gammaln(y + 1.0)
     const = jnp.sum(lgamma_y * mask, axis=1)  # (G,)
     TC = _pick_tile(C, (256, 128, 64, 32, 16, 8))
-    TG = _pick_tile(G, (8, 16, 4, 32, 2))
+    TG = _group_tile(n, p, TC, G)
     bt = jnp.transpose(beta, (1, 2, 0))
     (x_p, y_p, mask_p, bt_p), Gp = _pad_groups([x, y, mask, bt], G, TG)
 

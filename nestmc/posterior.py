@@ -79,9 +79,10 @@ class Posterior:
         out = {}
         for name, stats in d.items():
             out[name] = {k: np.asarray(v) for k, v in stats.items()}
-            out[name]["accept_rate"] = np.asarray(
-                jnp.mean(self.accept_rates[name])
-            )
+            if name in self.accept_rates:  # derived quantities have none
+                out[name]["accept_rate"] = np.asarray(
+                    jnp.mean(self.accept_rates[name])
+                )
         return out
 
     def summary_table(self) -> str:
@@ -92,6 +93,10 @@ class Posterior:
             f"{'ess_min':>10}{'ess_sum':>12}{'acc':>7}"
         ]
         for name, s in d.items():
+            if name in self.accept_rates:
+                acc = f"{float(jnp.mean(self.accept_rates[name])):>7.2f}"
+            else:
+                acc = f"{'-':>7}"  # derived quantity: no MH step
             lines.append(
                 f"{name:<14}"
                 f"{float(jnp.mean(s['mean'])):>10.3f}"
@@ -99,6 +104,6 @@ class Posterior:
                 f"{float(jnp.max(s['rhat'])):>10.4f}"
                 f"{float(jnp.min(s['ess_bulk'])):>10.0f}"
                 f"{float(jnp.sum(s['ess_bulk'])):>12.0f}"
-                f"{float(jnp.mean(self.accept_rates[name])):>7.2f}"
+                f"{acc}"
             )
         return "\n".join(lines)
