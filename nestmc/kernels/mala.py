@@ -22,9 +22,15 @@ from nestmc.model import Block, ModelSpec
 
 
 def cond_value_and_grad(model: ModelSpec, name, value, position, data):
-    """((C, U) or (C,), value-shaped grad) of the block conditional."""
+    """((C, U) or (C,), value-shaped grad) of the block conditional.
+
+    Uses the model's fused implementation when it provides one for this
+    block (returns non-None); otherwise one jax.vjp through the jnp path.
+    """
     if model.cond_value_and_grad is not None:
-        return model.cond_value_and_grad(name, value, position, data)
+        fused = model.cond_value_and_grad(name, value, position, data)
+        if fused is not None:
+            return fused
 
     def f(v):
         return model.cond_logdensity(name, v, position, data)

@@ -113,6 +113,30 @@ def make_hier_logistic(
             ) + pprior
         raise KeyError(name)
 
+    def cond_value_and_grad(name, value, state, data):
+        """Fused value+grad of the beta conditional for MALA
+        (BASELINE.json:11): Pallas computes (loglik, dloglik/dbeta) in one
+        pass over the obs axis; the Gaussian group-prior value/grad are
+        closed-form. Returns None for other blocks (generic vjp fallback)."""
+        if name != "beta" or isinstance(data, RaggedData):
+            return None
+        from nestmc.ops.pallas.loglik_logistic import (
+            logistic_logp_grad_pallas,
+        )
+
+        ll, gll = logistic_logp_grad_pallas(value, data.x, data.y, data.mask)
+        state = {**state, "beta": value}
+        mu = state["mu"][:, None, :]
+        inv_tau2 = jnp.exp(-2.0 * state["log_tau"])[:, None, :]
+        diff = value - mu
+        gp_val = jnp.sum(
+            -0.5 * diff * diff * inv_tau2
+            + 0.5 * jnp.log(inv_tau2) - 0.9189385332046727,
+            axis=-1,
+        )
+        gp_grad = -diff * inv_tau2
+        return ll + gp_val, gll + gp_grad
+
     def gibbs_mu(key, state, data):
         """EXACT conjugate draw of mu | beta, tau (per coordinate):
         beta_gk ~ N(mu_k, tau_k), mu_k ~ N(0, prior_mu_scale^2) =>
@@ -194,6 +218,9 @@ def make_hier_logistic(
             ),
         },
         gibbs_draws={"mu": gibbs_mu},
+        cond_value_and_grad=(
+            cond_value_and_grad if chosen == "pallas" else None
+        ),
     )
 
 
