@@ -55,9 +55,9 @@ def _marginal_conditional(model, key, reps):
     return _test_functions(state, y)
 
 
-def _successive_conditional(model, key):
+def _successive_conditional(model, key, algorithm="rwmh"):
     cfg = SamplerConfig(
-        kernel=KernelConfig(scale_per_unit=True),
+        kernel=KernelConfig(scale_per_unit=True, algorithm=algorithm),
         run=RunConfig(chains=C, log_every_segment=False),
     )
     sweep = make_sweep(model, cfg)
@@ -83,9 +83,11 @@ def _successive_conditional(model, key):
     return {k: jnp.mean(v[BURN:], axis=0) for k, v in stats.items()}
 
 
-def _geweke_zscores(model, seed=0):
+def _geweke_zscores(model, seed=0, algorithm="rwmh"):
     mc = _marginal_conditional(model, jax.random.key(seed), reps=200_000)
-    sc = _successive_conditional(model, jax.random.key(seed + 1))
+    sc = _successive_conditional(
+        model, jax.random.key(seed + 1), algorithm=algorithm
+    )
     zs = {}
     for k in mc:
         m1 = float(jnp.mean(mc[k]))
@@ -98,11 +100,14 @@ def _geweke_zscores(model, seed=0):
 
 
 @pytest.mark.slow
-def test_geweke_correct_sampler_passes():
+@pytest.mark.parametrize("algorithm", ["rwmh", "mala"])
+def test_geweke_correct_sampler_passes(algorithm):
+    """Validates the MH correction of BOTH kernels — for MALA this is the
+    sharpest check of the asymmetric-proposal (Langevin) correction term."""
     model = make_calibration_model(G, N)
-    zs = _geweke_zscores(model)
+    zs = _geweke_zscores(model, algorithm=algorithm)
     worst = max(abs(z) for z in zs.values())
-    assert worst < 5.0, f"Geweke z-scores {zs}"
+    assert worst < 5.0, f"Geweke z-scores ({algorithm}) {zs}"
 
 
 @pytest.mark.slow
