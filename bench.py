@@ -39,8 +39,8 @@ def main() -> int:
     # The judged model: 1k groups x 50 obs, p=4.
     data, _ = synth_logistic(jax.random.key(2000), G=1000, n=50, p=4)
     chains_per_chip = int(os.environ.get("NESTMC_BENCH_CHAINS_PER_CHIP", 256))
-    warmup = int(os.environ.get("NESTMC_BENCH_WARMUP", 400))
-    draws = int(os.environ.get("NESTMC_BENCH_DRAWS", 768))
+    warmup = int(os.environ.get("NESTMC_BENCH_WARMUP", 800))
+    draws = int(os.environ.get("NESTMC_BENCH_DRAWS", 1536))
     cfg = SamplerConfig(
         run=RunConfig(
             chains=chains_per_chip * n_dev,

@@ -63,12 +63,16 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
             update = _UPDATES[algorithm]
             pstd = precond_std(precond[name], cfg.kernel)
 
-            new_value, alpha, new_cache = update(
-                kb, block, model, position, log_scale[name], pstd, data,
-                cache=cache.get(name),
-            )
-            position[name] = new_value
-            cache[name] = new_cache
+            alphas = []
+            for r in range(max(1, block.repeats)):
+                new_value, alpha, new_cache = update(
+                    jax.random.fold_in(kb, r), block, model, position,
+                    log_scale[name], pstd, data, cache=cache.get(name),
+                )
+                position[name] = new_value
+                cache[name] = new_cache
+                alphas.append(alpha)
+            alpha = sum(alphas) / len(alphas)
             accept_sum[name] = accept_sum[name] + alpha
 
             if adapt:

@@ -48,6 +48,10 @@ class Block:
               0.234 otherwise; 0.574 for MALA) at kernel-build time.
       algorithm: per-block override of KernelConfig.algorithm
               ('rwmh' | 'mala' | None = use the config's).
+      repeats: MH updates of this block per Gibbs sweep. Useful for cheap
+              blocks (sufficient-stat hyperparameters) whose random-walk
+              autocorrelation would otherwise dominate: k repeats cut the
+              within-conditional autocorrelation ~k-fold at negligible cost.
     """
 
     name: str
@@ -56,6 +60,7 @@ class Block:
     init_scale: float = 1.0
     target_accept: float | None = None
     algorithm: str | None = None
+    repeats: int = 1
 
     @property
     def unit_shape(self) -> tuple:

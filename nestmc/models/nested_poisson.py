@@ -200,8 +200,8 @@ def make_nested_poisson(
             Block("beta_s", (S, p), units=S, init_scale=0.2),
             Block("beta_g", (G, p), units=G, init_scale=0.2),
             Block("mu", (p,), units=p, init_scale=0.15),      # conjugate
-            Block("log_tau_g", (p,), units=p, init_scale=0.2),
-            Block("log_tau_s", (p,), units=p, init_scale=0.2),
+            Block("log_tau_g", (p,), units=p, init_scale=0.2, repeats=4),
+            Block("log_tau_s", (p,), units=p, init_scale=0.2, repeats=4),
         ),
         cond_logdensity=cond,
         joint_logdensity=joint,
