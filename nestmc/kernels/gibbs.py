@@ -89,6 +89,20 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
                     precond[name], new_value, cfg.kernel
                 )
 
+        for j, (mname, move) in enumerate(model.joint_moves.items()):
+            km = jax.random.fold_in(key_sweep, 1000 + j)
+            pos_up, cache_up, alpha = move(
+                km, position, cache, jnp.exp(log_scale[mname]), data
+            )
+            position.update(pos_up)
+            cache.update(cache_up)
+            alpha = alpha[:, None]  # (C, 1)
+            accept_sum[mname] = accept_sum[mname] + alpha
+            if adapt:
+                log_scale[mname] = adapt_log_scale(
+                    log_scale[mname], alpha, t, 0.234, cfg.kernel
+                )
+
         return KernelState(
             position=position,
             log_scale=log_scale,

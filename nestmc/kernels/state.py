@@ -91,6 +91,10 @@ def init_kernel_state(
             cache[b.name] = val if b.units else val[:, None]
         else:
             cache[b.name] = None
+    for mname in model.joint_moves:
+        # joint moves carry one per-chain proposal scale + accept counter
+        log_scale[mname] = jnp.full((chains, 1), math.log(0.1), dtype)
+        accept_sum[mname] = jnp.zeros((chains, 1), dtype)
     return KernelState(
         position=position,
         log_scale=log_scale,

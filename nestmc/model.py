@@ -105,6 +105,15 @@ class ModelSpec:
         computed from the state at draw-collection time (e.g. the centered
         theta = mu + tau * z of a non-centered parameterization). Collectable
         by name like any block.
+      joint_moves: {move_name: fn(key, position, cache, scale, data) ->
+        (position_updates: dict, cache_updates: dict, alpha: (C,))} extra
+        MH moves run at the end of every sweep that may change SEVERAL
+        blocks jointly — e.g. an ASIS/interweaving move that rescales
+        (tau, beta) together in the non-centered parameterization, breaking
+        the hyperparameter-group coupling that limits centered Gibbs mixing.
+        ``scale`` is a per-chain (C, 1) proposal scale adapted to 0.234 like
+        a block scale; ``cache_updates`` lets the move refresh carried
+        likelihood caches it invalidates (set a key to None to drop one).
       gibbs_draws: {block_name: fn(key, state, data) -> new_value} EXACT
         conditional samplers (conjugate draws). A block listed here is
         updated by a direct draw from its full conditional instead of an MH
@@ -133,6 +142,7 @@ class ModelSpec:
     derived: dict = dataclasses.field(default_factory=dict)
     cond_cached: dict = dataclasses.field(default_factory=dict)
     gibbs_draws: dict = dataclasses.field(default_factory=dict)
+    joint_moves: dict = dataclasses.field(default_factory=dict)
 
     def block(self, name: str) -> Block:
         for b in self.blocks:

@@ -137,6 +137,54 @@ def make_hier_logistic(
         gp_grad = -diff * inv_tau2
         return ll + gp_val, gll + gp_grad
 
+    def asis_tau_move(key, position, cache, scale, data):
+        """ASIS interweaving move (Yu & Meng 2011): MH on log_tau in the
+        NON-CENTERED parameterization with z = (beta - mu)/tau held fixed,
+        so beta rescales jointly with tau: beta' = mu + (tau'/tau)(beta-mu).
+
+        Centered Gibbs mixes tau slowly because tau | beta is pinned to the
+        empirical spread of beta; this move changes that spread directly
+        (one likelihood evaluation, current likelihood read from the carried
+        cache). Target ratio with z fixed:
+          lik(beta') - lik(beta) + log p(tau') - log p(tau)  (+ Jacobians)
+        (the z-prior is unchanged by construction).
+        """
+        k1, k2 = jax.random.split(key)
+        beta, mu, lt = position["beta"], position["mu"], position["log_tau"]
+        C = lt.shape[0]
+        eps = jax.random.normal(k1, lt.shape, lt.dtype)
+        lt_new = lt + scale * eps                      # (C, p)
+        ratio = jnp.exp(lt_new - lt)[:, None, :]       # tau'/tau
+        beta_new = mu[:, None, :] + (beta - mu[:, None, :]) * ratio
+        lik_new = lik_fn(beta_new, data)               # (C, G)
+        lik_old = cache.get("beta")
+        if lik_old is None:
+            lik_old = lik_fn(beta, data)
+        tau, tau_new = jnp.exp(lt), jnp.exp(lt_new)
+        prior_delta = jnp.sum(
+            logpdf_halfnormal(tau_new, prior_tau_scale) + lt_new
+            - logpdf_halfnormal(tau, prior_tau_scale) - lt,
+            axis=-1,
+        )
+        log_alpha = jnp.sum(lik_new - lik_old, axis=-1) + prior_delta
+        logu = jnp.log(jax.random.uniform(
+            k2, (C,), lt.dtype, minval=jnp.finfo(lt.dtype).tiny
+        ))
+        accept = logu < log_alpha
+        acc3 = accept[:, None, None]
+        pos_up = {
+            "beta": jnp.where(acc3, beta_new, beta),
+            "log_tau": jnp.where(accept[:, None], lt_new, lt),
+        }
+        cache_up = {}
+        if cache.get("beta") is not None:
+            cache_up["beta"] = jnp.where(accept[:, None], lik_new, lik_old)
+        alpha = jnp.where(
+            jnp.isnan(log_alpha), 0.0,
+            jnp.exp(jnp.minimum(log_alpha, 0.0)),
+        )
+        return pos_up, cache_up, alpha
+
     def gibbs_mu(key, state, data):
         """EXACT conjugate draw of mu | beta, tau (per coordinate):
         beta_gk ~ N(mu_k, tau_k), mu_k ~ N(0, prior_mu_scale^2) =>
@@ -221,6 +269,7 @@ def make_hier_logistic(
             ),
         },
         gibbs_draws={"mu": gibbs_mu},
+        joint_moves={"asis_tau": asis_tau_move},
         cond_value_and_grad=(
             cond_value_and_grad if chosen == "pallas" else None
         ),

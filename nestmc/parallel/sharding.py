@@ -88,6 +88,9 @@ def state_shardings(model, cfg: SamplerConfig, mesh: Mesh):
             }
         else:
             precond[b.name] = None
+    for mname in model.joint_moves:
+        log_scale[mname] = ns("chains")
+        accept_sum[mname] = ns("chains")
     from nestmc.kernels.state import KernelState
 
     return KernelState(

@@ -70,6 +70,43 @@ def make_calibration_model(G: int, n: int) -> ModelSpec:
         )
         return {"theta": theta, "mu": mu, "log_tau": jnp.log(tau)}
 
+    def asis_tau_move(key, position, cache, scale, data):
+        """Same ASIS interweaving move as hier_logistic (z fixed, rescale
+        (tau, theta) jointly) — here so Geweke validates the joint_moves
+        machinery and the move's MH ratio."""
+        k1, k2 = jax.random.split(key)
+        theta, mu, lt = (
+            position["theta"], position["mu"], position["log_tau"],
+        )
+        C = lt.shape[0]
+        eps = jax.random.normal(k1, lt.shape, lt.dtype)
+        lt_new = lt + scale[:, 0] * eps                 # (C,)
+        ratio = jnp.exp(lt_new - lt)[:, None]
+        theta_new = mu[:, None] + (theta - mu[:, None]) * ratio
+        lik_old = jnp.sum(_lik({**position}, data), axis=-1)
+        lik_new = jnp.sum(
+            _lik({**position, "theta": theta_new}, data), axis=-1
+        )
+        tau, tau_new = jnp.exp(lt), jnp.exp(lt_new)
+        prior_delta = (
+            logpdf_halfnormal(tau_new, TAU0) + lt_new
+            - logpdf_halfnormal(tau, TAU0) - lt
+        )
+        log_alpha = lik_new - lik_old + prior_delta
+        logu = jnp.log(jax.random.uniform(
+            k2, (C,), lt.dtype, minval=jnp.finfo(lt.dtype).tiny
+        ))
+        accept = logu < log_alpha
+        pos_up = {
+            "theta": jnp.where(accept[:, None], theta_new, theta),
+            "log_tau": jnp.where(accept, lt_new, lt),
+        }
+        alpha = jnp.where(
+            jnp.isnan(log_alpha), 0.0,
+            jnp.exp(jnp.minimum(log_alpha, 0.0)),
+        )
+        return pos_up, {}, alpha
+
     return ModelSpec(
         name="calibration_hier_normal",
         blocks=(
@@ -81,6 +118,7 @@ def make_calibration_model(G: int, n: int) -> ModelSpec:
         joint_logdensity=joint,
         init_state=init_state,
         prior_sample=prior_sample,
+        joint_moves={"asis_tau": asis_tau_move},
     )
 
 
