@@ -39,15 +39,15 @@ def main() -> int:
     # The judged model: 1k groups x 50 obs, p=4.
     data, _ = synth_logistic(jax.random.key(2000), G=1000, n=50, p=4)
     chains_per_chip = int(os.environ.get("NESTMC_BENCH_CHAINS_PER_CHIP", 256))
-    warmup = int(os.environ.get("NESTMC_BENCH_WARMUP", 800))
-    draws = int(os.environ.get("NESTMC_BENCH_DRAWS", 1536))
+    warmup = int(os.environ.get("NESTMC_BENCH_WARMUP", 2500))
+    draws = int(os.environ.get("NESTMC_BENCH_DRAWS", 6144))
     cfg = SamplerConfig(
         run=RunConfig(
             chains=chains_per_chip * n_dev,
             warmup=warmup,
             draws=draws,
             seed=0,
-            segment_size=256,
+            segment_size=2048,
             collect={"mu": None, "log_tau": None, "beta": 8},
             log_every_segment=False,
         ),

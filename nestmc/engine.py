@@ -169,7 +169,8 @@ def sample(
         del compiled  # jit cache retains it
         t_w = time.perf_counter()
         for i, L in enumerate(_segment_lengths(rc.warmup, rc.segment_size)):
-            state = warmup_segment(state, data, length=L)
+            with jax.profiler.TraceAnnotation(f"nestmc.warmup.seg{i}"):
+                state = warmup_segment(state, data, length=L)
             if rc.log_every_segment:
                 jax.block_until_ready(state.t)
                 done = int(state.t)
@@ -194,7 +195,8 @@ def sample(
     t_s = time.perf_counter()
     drawn = 0
     for i, L in enumerate(_segment_lengths(rc.draws, rc.segment_size)):
-        state, seg_draws = sample_segment(state, data, length=L)
+        with jax.profiler.TraceAnnotation(f"nestmc.sample.seg{i}"):
+            state, seg_draws = sample_segment(state, data, length=L)
         segments.append(seg_draws)
         drawn += L
         if rc.log_every_segment:
