@@ -27,6 +27,8 @@ class KernelConfig:
     """
 
     algorithm: str = "rwmh"
+    fused_accept: bool = False  # use single-kernel propose+lik+accept
+    # updates where the model provides one (Pallas; own PRNG stream)
     target_accept: float | None = None
     adapt_c: float = 1.0
     adapt_t0: float = 10.0

@@ -60,15 +60,29 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
                 continue
 
             algorithm = block.algorithm or cfg.kernel.algorithm
-            update = _UPDATES[algorithm]
             pstd = precond_std(precond[name], cfg.kernel)
+            use_fused = (
+                cfg.kernel.fused_accept
+                and name in model.fused_updates
+                and algorithm == "rwmh"
+                and pstd is None
+                # interpret mode stubs the TPU core PRNG with zeros
+                and jax.default_backend() == "tpu"
+            )
+            update = _UPDATES[algorithm]
 
             alphas = []
             for r in range(max(1, block.repeats)):
-                new_value, alpha, new_cache = update(
-                    jax.random.fold_in(kb, r), block, model, position,
-                    log_scale[name], pstd, data, cache=cache.get(name),
-                )
+                kr = jax.random.fold_in(kb, r)
+                if use_fused:
+                    new_value, new_cache, alpha = model.fused_updates[name](
+                        kr, position, cache, log_scale[name], data
+                    )
+                else:
+                    new_value, alpha, new_cache = update(
+                        kr, block, model, position,
+                        log_scale[name], pstd, data, cache=cache.get(name),
+                    )
                 position[name] = new_value
                 cache[name] = new_cache
                 alphas.append(alpha)

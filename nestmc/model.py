@@ -143,6 +143,11 @@ class ModelSpec:
     cond_cached: dict = dataclasses.field(default_factory=dict)
     gibbs_draws: dict = dataclasses.field(default_factory=dict)
     joint_moves: dict = dataclasses.field(default_factory=dict)
+    # {block_name: fn(key, position, cache, log_scale, data) ->
+    #  (new_value, new_cache, alpha)} single-kernel fused RW-MH updates
+    # (propose+lik+accept in one Pallas pass); engaged only when
+    # KernelConfig.fused_accept is set and the block runs plain RW-MH.
+    fused_updates: dict = dataclasses.field(default_factory=dict)
 
     def block(self, name: str) -> Block:
         for b in self.blocks:

@@ -137,6 +137,19 @@ def make_hier_logistic(
         gp_grad = -diff * inv_tau2
         return ll + gp_val, gll + gp_grad
 
+    def fused_beta_update(key, position, cache, log_scale, data):
+        """Single-kernel RW-MH update of beta (ops/pallas/mh_accept.py)."""
+        from nestmc.ops.pallas.mh_accept import fused_rwmh_logistic_step
+
+        lik_cache = cache.get("beta")
+        if lik_cache is None:
+            lik_cache = lik_fn(position["beta"], data)
+        return fused_rwmh_logistic_step(
+            key, position["beta"], lik_cache, log_scale,
+            position["mu"], position["log_tau"],
+            data.x, data.y, data.mask,
+        )
+
     def asis_tau_move(key, position, cache, scale, data):
         """ASIS interweaving move (Yu & Meng 2011): MH on log_tau in the
         NON-CENTERED parameterization with z = (beta - mu)/tau held fixed,
@@ -270,6 +283,10 @@ def make_hier_logistic(
         },
         gibbs_draws={"mu": gibbs_mu},
         joint_moves={"asis_tau": asis_tau_move},
+        fused_updates=(
+            {} if isinstance(data, RaggedData)
+            else {"beta": fused_beta_update}
+        ),
         cond_value_and_grad=(
             cond_value_and_grad if chosen == "pallas" else None
         ),
@@ -303,6 +320,8 @@ def synth_logistic(
     sizes = np.asarray(
         jax.random.randint(kn, (G,), min_obs, n + 1)
     )
-    ys = [np.asarray(y[g, : sizes[g]]) for g in range(G)]
-    xs = [np.asarray(x[g, : sizes[g]]) for g in range(G)]
+    # pull to host ONCE; per-group device slicing would be G round-trips
+    y_np, x_np = np.asarray(y), np.asarray(x)
+    ys = [y_np[g, : sizes[g]] for g in range(G)]
+    xs = [x_np[g, : sizes[g]] for g in range(G)]
     return RaggedData.from_ragged(ys, xs, dtype=dtype), truth

@@ -30,15 +30,38 @@ def _pick_tile(total: int, candidates) -> int:
     return total
 
 
+def _r8(v: int) -> int:
+    return ((v + 7) // 8) * 8
+
+
+def _r128(v: int) -> int:
+    return ((v + 127) // 128) * 128
+
+
 def _group_tile(n: int, p: int, TC: int, G: int,
-                vmem_budget: int = 4 * 1024 * 1024) -> int:
-    """Largest group tile whose working set fits the VMEM budget.
+                n_inter: int = 1, extra_out: int = 0,
+                vmem_budget: int = 8 * 1024 * 1024) -> int:
+    """Largest group tile whose VMEM working set fits the budget.
 
     Too-small tiles make the grid long and per-step overhead dominates
     (measured: TG=8 at G=1000 -> 125 grid steps ~ 0.7 ms/call; TG=64 -> 16
-    steps). The (TG, n, TC) eta intermediate dominates the working set.
+    steps). Sizes model the REAL padded (8, 128) f32 tiling of the last two
+    dims of every buffer — a (TG, n, p) x-tile occupies r8(n)*128 lanes per
+    group however small p is — with double-buffered in/out blocks.
+
+    n_inter: count of (TG, n, TC)-shaped VMEM intermediates (1 for the lik
+    kernel's eta; 2 for logp+grad's eta+resid; 2 for the fused MH step).
+    extra_out: extra per-group OUTPUT bytes (e.g. the (TG, p, TC) grad).
     """
-    per_group = 4 * (n * TC + 2 * n * p + 2 * p * TC + 2 * TC)
+    x_b = _r8(n) * _r128(p) * 4
+    y_b = _r128(n) * 4
+    beta_b = _r8(p) * _r128(TC) * 4
+    out_b = _r128(TC) * 4
+    inter_b = _r8(n) * _r128(TC) * 4
+    per_group = (
+        2 * (x_b + 2 * y_b + beta_b + out_b + extra_out)  # double-buffered
+        + n_inter * inter_b
+    )
     tg = max(1, vmem_budget // max(per_group, 1))
     tg = min(tg, 256, G)
     return max(8, (tg // 8) * 8)
@@ -133,7 +156,8 @@ def logistic_logp_grad_pallas(beta, x, y, mask, interpret: bool | None = None):
     C, G, p = beta.shape
     n = x.shape[1]
     TC = _pick_tile(C, (256, 128, 64, 32, 16, 8))
-    TG = _group_tile(n, p, TC, G)
+    TG = _group_tile(n, p, TC, G, n_inter=2,
+                     extra_out=_r8(p) * _r128(TC) * 4)
     bt = jnp.transpose(beta, (1, 2, 0))
     (x_p, y_p, mask_p, bt_p), Gp = _pad_groups([x, y, mask, bt], G, TG)
 
