@@ -40,7 +40,8 @@ def _r128(v: int) -> int:
 
 def _group_tile(n: int, p: int, TC: int, G: int,
                 n_inter: int = 1, extra_out: int = 0,
-                vmem_budget: int = 8 * 1024 * 1024) -> int:
+                vmem_budget: int = 8 * 1024 * 1024,
+                max_tg: int = 64) -> int:
     """Largest group tile whose VMEM working set fits the budget.
 
     Too-small tiles make the grid long and per-step overhead dominates
@@ -63,7 +64,11 @@ def _group_tile(n: int, p: int, TC: int, G: int,
         + n_inter * inter_b
     )
     tg = max(1, vmem_budget // max(per_group, 1))
-    tg = min(tg, 256, G)
+    # max_tg bounds MOSAIC COMPILE TIME, not memory: the per-group batched
+    # dot unrolls in the kernel body and compile cost grows superlinearly
+    # in the unroll count (measured: TG=120 with 2 dots/group -> 393 s
+    # compile at G=100k; TG<=64 with 1 dot -> seconds).
+    tg = min(tg, max_tg, G)
     return max(8, (tg // 8) * 8)
 
 
@@ -157,7 +162,7 @@ def logistic_logp_grad_pallas(beta, x, y, mask, interpret: bool | None = None):
     n = x.shape[1]
     TC = _pick_tile(C, (256, 128, 64, 32, 16, 8))
     TG = _group_tile(n, p, TC, G, n_inter=2,
-                     extra_out=_r8(p) * _r128(TC) * 4)
+                     extra_out=_r8(p) * _r128(TC) * 4, max_tg=32)
     bt = jnp.transpose(beta, (1, 2, 0))
     (x_p, y_p, mask_p, bt_p), Gp = _pad_groups([x, y, mask, bt], G, TG)
 

@@ -116,7 +116,8 @@ def fused_rwmh_logistic_step(
     n = x.shape[1]
     TC = _pick_tile(C, (256, 128, 64, 32, 16, 8))
     TG = _group_tile(n, p, TC, G, n_inter=2,
-                     extra_out=_r8(p) * _r128(TC) * 4 + 2 * _r128(TC) * 4)
+                     extra_out=_r8(p) * _r128(TC) * 4 + 2 * _r128(TC) * 4,
+                     max_tg=64)
 
     kd = jax.random.key_data(key).astype(jnp.uint32)
     seed = (kd[..., 0] ^ kd[..., 1]).astype(jnp.int32).reshape(1, 1)
