@@ -54,6 +54,10 @@ def mala_update(key, block: Block, model: ModelSpec, position, log_scale,
     ``pstd`` (diagonal preconditioner std) acts as a per-coordinate mass
     matrix: proposal v' = v + (s^2/2) M g + s sqrt(M) eps with M = pstd^2;
     the correction term uses the M-weighted norm.
+
+    ``cache``: optional {'v': (C,U), 'g': value-shaped} carried (logp, grad)
+    of the SELF-CONTAINED conditional part (ModelSpec.cond_cached_grad) at
+    the current value — halves likelihood+grad evaluations per update.
     """
     value = position[block.name]
     k_eps, k_u = jax.random.split(key)
@@ -61,16 +65,31 @@ def mala_update(key, block: Block, model: ModelSpec, position, log_scale,
     s2 = s * s
     m = jnp.ones_like(value) if pstd is None else pstd * pstd
 
-    d_old, g_old = cond_value_and_grad(
-        model, block.name, value, position, data
-    )
+    if cache is not None:
+        self_vag, rest_vag = model.cond_cached_grad[block.name]
+        rv_old, rg_old = rest_vag(value, position, data)
+        d_old = cache["v"] + as_cu(rv_old, block)
+        g_old = cache["g"] + rg_old
+    else:
+        d_old, g_old = cond_value_and_grad(
+            model, block.name, value, position, data
+        )
+        d_old = as_cu(d_old, block)
     eps = jax.random.normal(k_eps, value.shape, value.dtype)
     sqrt_m = 1.0 if pstd is None else pstd
     prop = value + 0.5 * s2 * m * g_old + s * sqrt_m * eps
 
-    d_new, g_new = cond_value_and_grad(
-        model, block.name, prop, position, data
-    )
+    if cache is not None:
+        sv_new, sg_new = self_vag(prop, data)
+        sv_new = as_cu(sv_new, block)
+        rv_new, rg_new = rest_vag(prop, position, data)
+        d_new = sv_new + as_cu(rv_new, block)
+        g_new = sg_new + rg_new
+    else:
+        d_new, g_new = cond_value_and_grad(
+            model, block.name, prop, position, data
+        )
+        d_new = as_cu(d_new, block)
 
     # log q(a | b) = -||a - b - (s^2/2) M g(b)||_{M^-1}^2 / (2 s^2) + const
     fwd = prop - value - 0.5 * s2 * m * g_old   # = s sqrt(M) eps
@@ -80,8 +99,7 @@ def mala_update(key, block: Block, model: ModelSpec, position, log_scale,
     log_q_rev = -_sq_norm_per_unit(rev * jnp.sqrt(inv_m), block)
     s2_cu = jnp.exp(2.0 * log_scale)
     log_alpha = (
-        as_cu(d_new, block) - as_cu(d_old, block)
-        + (log_q_rev - log_q_fwd) / (2.0 * s2_cu)
+        d_new - d_old + (log_q_rev - log_q_fwd) / (2.0 * s2_cu)
     )
 
     logu = jnp.log(jax.random.uniform(
@@ -89,4 +107,10 @@ def mala_update(key, block: Block, model: ModelSpec, position, log_scale,
     ))
     accept = logu < log_alpha
     new_value = select_accepted(accept, prop, value, block)
-    return new_value, accept_prob(log_alpha), None
+    new_cache = None
+    if cache is not None:
+        new_cache = {
+            "v": jnp.where(accept, sv_new, cache["v"]),
+            "g": select_accepted(accept, sg_new, cache["g"], block),
+        }
+    return new_value, accept_prob(log_alpha), new_cache

@@ -83,12 +83,18 @@ def init_kernel_state(
         log_scale[b.name] = jnp.full((chains, u), math.log(s0), dtype)
         precond[b.name] = init_precond(position[b.name], cfg.kernel)
         accept_sum[b.name] = jnp.zeros((chains, max(b.units, 1)), dtype)
-        if b.name in model.cond_cached and (
-            (b.algorithm or cfg.kernel.algorithm) == "rwmh"
-        ):
+        algorithm = b.algorithm or cfg.kernel.algorithm
+        if b.name in model.cond_cached and algorithm == "rwmh":
             self_fn, _ = model.cond_cached[b.name]
             val = self_fn(position[b.name], data)
             cache[b.name] = val if b.units else val[:, None]
+        elif b.name in model.cond_cached_grad and algorithm == "mala":
+            self_vag, _ = model.cond_cached_grad[b.name]
+            val, grad = self_vag(position[b.name], data)
+            cache[b.name] = {
+                "v": val if b.units else val[:, None],
+                "g": grad,
+            }
         else:
             cache[b.name] = None
     for mname in model.joint_moves:

@@ -148,6 +148,13 @@ class ModelSpec:
     # (propose+lik+accept in one Pallas pass); engaged only when
     # KernelConfig.fused_accept is set and the block runs plain RW-MH.
     fused_updates: dict = dataclasses.field(default_factory=dict)
+    # MALA analog of cond_cached: {block_name: (self_vag, rest_vag)} where
+    # self_vag(value, data) -> ((C,U) logp, value-shaped grad) depends on no
+    # other block (the data likelihood), rest_vag(value, state, data) ->
+    # same for the remainder. The MALA kernel carries the self part of the
+    # current value across sweeps — one likelihood+grad evaluation per
+    # update instead of two.
+    cond_cached_grad: dict = dataclasses.field(default_factory=dict)
 
     def block(self, name: str) -> Block:
         for b in self.blocks:

@@ -113,19 +113,24 @@ def make_hier_logistic(
             ) + pprior
         raise KeyError(name)
 
-    def cond_value_and_grad(name, value, state, data):
-        """Fused value+grad of the beta conditional for MALA
-        (BASELINE.json:11): Pallas computes (loglik, dloglik/dbeta) in one
-        pass over the obs axis; the Gaussian group-prior value/grad are
-        closed-form. Returns None for other blocks (generic vjp fallback)."""
-        if name != "beta" or isinstance(data, RaggedData):
-            return None
-        from nestmc.ops.pallas.loglik_logistic import (
-            logistic_logp_grad_pallas,
-        )
+    def lik_value_and_grad(value, data):
+        """(loglik (C,G), grad (C,G,p)) of the data likelihood only —
+        fused Pallas kernel on padded data (BASELINE.json:11), one jax.vjp
+        of the segment path for ragged data."""
+        if not isinstance(data, RaggedData) and chosen == "pallas":
+            from nestmc.ops.pallas.loglik_logistic import (
+                logistic_logp_grad_pallas,
+            )
 
-        ll, gll = logistic_logp_grad_pallas(value, data.x, data.y, data.mask)
-        state = {**state, "beta": value}
+            return logistic_logp_grad_pallas(
+                value, data.x, data.y, data.mask
+            )
+        out, vjp = jax.vjp(lambda b: lik_fn(b, data), value)
+        (g,) = vjp(jnp.ones_like(out))
+        return out, g
+
+    def gprior_value_and_grad(value, state, data):
+        """Closed-form per-group Gaussian prior value+grad wrt beta."""
         mu = state["mu"][:, None, :]
         inv_tau2 = jnp.exp(-2.0 * state["log_tau"])[:, None, :]
         diff = value - mu
@@ -134,7 +139,15 @@ def make_hier_logistic(
             + 0.5 * jnp.log(inv_tau2) - 0.9189385332046727,
             axis=-1,
         )
-        gp_grad = -diff * inv_tau2
+        return gp_val, -diff * inv_tau2
+
+    def cond_value_and_grad(name, value, state, data):
+        """Full fused value+grad of the beta conditional (MALA fallback
+        when the grad cache is off). None for other blocks -> generic vjp."""
+        if name != "beta":
+            return None
+        ll, gll = lik_value_and_grad(value, data)
+        gp_val, gp_grad = gprior_value_and_grad(value, state, data)
         return ll + gp_val, gll + gp_grad
 
     def fused_beta_update(key, position, cache, log_scale, data):
@@ -169,10 +182,16 @@ def make_hier_logistic(
         lt_new = lt + scale * eps                      # (C, p)
         ratio = jnp.exp(lt_new - lt)[:, None, :]       # tau'/tau
         beta_new = mu[:, None, :] + (beta - mu[:, None, :]) * ratio
-        lik_new = lik_fn(beta_new, data)               # (C, G)
-        lik_old = cache.get("beta")
-        if lik_old is None:
-            lik_old = lik_fn(beta, data)
+        lik_cache = cache.get("beta")
+        grad_mode = isinstance(lik_cache, dict)        # MALA grad cache
+        if grad_mode:
+            lik_old = lik_cache["v"]
+            lik_new, grad_new = lik_value_and_grad(beta_new, data)
+        else:
+            lik_new = lik_fn(beta_new, data)           # (C, G)
+            lik_old = lik_cache
+            if lik_old is None:
+                lik_old = lik_fn(beta, data)
         tau, tau_new = jnp.exp(lt), jnp.exp(lt_new)
         prior_delta = jnp.sum(
             logpdf_halfnormal(tau_new, prior_tau_scale) + lt_new
@@ -190,7 +209,12 @@ def make_hier_logistic(
             "log_tau": jnp.where(accept[:, None], lt_new, lt),
         }
         cache_up = {}
-        if cache.get("beta") is not None:
+        if grad_mode:
+            cache_up["beta"] = {
+                "v": jnp.where(accept[:, None], lik_new, lik_old),
+                "g": jnp.where(acc3, grad_new, lik_cache["g"]),
+            }
+        elif lik_cache is not None:
             cache_up["beta"] = jnp.where(accept[:, None], lik_new, lik_old)
         alpha = jnp.where(
             jnp.isnan(log_alpha), 0.0,
@@ -287,9 +311,10 @@ def make_hier_logistic(
             {} if isinstance(data, RaggedData)
             else {"beta": fused_beta_update}
         ),
-        cond_value_and_grad=(
-            cond_value_and_grad if chosen == "pallas" else None
-        ),
+        cond_value_and_grad=cond_value_and_grad,
+        cond_cached_grad={
+            "beta": (lik_value_and_grad, gprior_value_and_grad),
+        },
     )
 
 

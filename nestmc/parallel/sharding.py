@@ -76,12 +76,14 @@ def state_shardings(model, cfg: SamplerConfig, mesh: Mesh):
         accept_sum[b.name] = (
             ns("chains", "groups") if gsh else ns("chains")
         )
-        cached = b.name in model.cond_cached and (
-            (b.algorithm or cfg.kernel.algorithm) == "rwmh"
-        )
-        cache[b.name] = (
-            ns("chains", "groups") if gsh else ns("chains")
-        ) if cached else None
+        algorithm = b.algorithm or cfg.kernel.algorithm
+        cu_spec = ns("chains", "groups") if gsh else ns("chains")
+        if b.name in model.cond_cached and algorithm == "rwmh":
+            cache[b.name] = cu_spec
+        elif b.name in model.cond_cached_grad and algorithm == "mala":
+            cache[b.name] = {"v": cu_spec, "g": val}
+        else:
+            cache[b.name] = None
         if cfg.kernel.precond == "diag":
             precond[b.name] = {
                 "mean": val, "var": val, "count": ns("chains"),

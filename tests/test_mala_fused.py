@@ -23,9 +23,11 @@ def _models():
     data, _ = synth_logistic(jax.random.key(17), G=16, n=10, p=2)
     fused = make_hier_logistic(data, loglik_impl="pallas")
     assert fused.cond_value_and_grad is not None
+    # plain: no fused kernel, no carried grad cache — pure vjp each step
     plain = dataclasses.replace(
         make_hier_logistic(data, loglik_impl="jnp"),
         cond_value_and_grad=None,
+        cond_cached_grad={},
     )
     return data, fused, plain
 
