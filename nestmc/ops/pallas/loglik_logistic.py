@@ -41,7 +41,7 @@ def _r128(v: int) -> int:
 def _group_tile(n: int, p: int, TC: int, G: int,
                 n_inter: int = 1, extra_out: int = 0,
                 vmem_budget: int = 8 * 1024 * 1024,
-                max_tg: int = 64) -> int:
+                max_tg: int = 128) -> int:
     """Largest group tile whose VMEM working set fits the budget.
 
     Too-small tiles make the grid long and per-step overhead dominates
@@ -64,10 +64,9 @@ def _group_tile(n: int, p: int, TC: int, G: int,
         + n_inter * inter_b
     )
     tg = max(1, vmem_budget // max(per_group, 1))
-    # max_tg bounds MOSAIC COMPILE TIME, not memory: the per-group batched
-    # dot unrolls in the kernel body and compile cost grows superlinearly
-    # in the unroll count (measured: TG=120 with 2 dots/group -> 393 s
-    # compile at G=100k; TG<=64 with 1 dot -> seconds).
+    # max_tg additionally bounds Mosaic compile time (larger bodies compile
+    # slower; with the VPU eta formulation the dependence is mild — the old
+    # per-group batched dots unrolled and cost 393 s to compile at TG=120).
     tg = min(tg, max_tg, G)
     return max(8, (tg // 8) * 8)
 
@@ -84,17 +83,31 @@ def _pad_groups(arrs, G, TG):
     return out, Gp
 
 
-def _loglik_kernel(x_ref, y_ref, mask_ref, beta_ref, out_ref):
-    # x (TG, n, p); y, mask (TG, n); beta (TG, p, TC); out (TG, TC)
-    eta = jax.lax.dot_general(
-        x_ref[:], beta_ref[:],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (TG, n, TC)
-    y = y_ref[:][:, :, None]
-    m = mask_ref[:][:, :, None]
-    ll = (y * eta - nn.softplus(eta)) * m
-    out_ref[:] = jnp.sum(ll, axis=1)
+def _eta_vpu(x, b, p: int):
+    """eta[g, i, c] = sum_k x[g,i,k] * b[g,k,c] as p VPU multiply-adds.
+
+    For the tiny contraction dims of this workload (p = 2..8) the MXU is
+    <6% utilized (K=p of 128) AND Mosaic unrolls the per-group batched dot,
+    blowing up compile time superlinearly in the tile size (measured 393 s
+    at 240 unrolled dots). p broadcasted fused multiply-adds on the VPU are
+    both faster and compile in seconds.
+    """
+    eta = x[:, :, 0][:, :, None] * b[:, 0, :][:, None, :]
+    for k in range(1, p):
+        eta = eta + x[:, :, k][:, :, None] * b[:, k, :][:, None, :]
+    return eta
+
+
+def _make_loglik_kernel(p: int):
+    def _loglik_kernel(x_ref, y_ref, mask_ref, beta_ref, out_ref):
+        # x (TG, n, p); y, mask (TG, n); beta (TG, p, TC); out (TG, TC)
+        eta = _eta_vpu(x_ref[:], beta_ref[:], p)  # (TG, n, TC)
+        y = y_ref[:][:, :, None]
+        m = mask_ref[:][:, :, None]
+        ll = (y * eta - nn.softplus(eta)) * m
+        out_ref[:] = jnp.sum(ll, axis=1)
+
+    return _loglik_kernel
 
 
 def logistic_loglik_padded_pallas(beta, x, y, mask, interpret: bool | None = None):
@@ -110,7 +123,7 @@ def logistic_loglik_padded_pallas(beta, x, y, mask, interpret: bool | None = Non
 
     grid = (Gp // TG, C // TC)
     out = pl.pallas_call(
-        _loglik_kernel,
+        _make_loglik_kernel(p),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TG, n, p), lambda g, c: (g, 0, 0)),
@@ -131,23 +144,23 @@ def logistic_loglik_padded_pallas(beta, x, y, mask, interpret: bool | None = Non
     return out[:G].T  # (C, G)
 
 
-def _logp_grad_kernel(x_ref, y_ref, mask_ref, beta_ref, out_ref, gout_ref):
-    # grad[c,g,:] = sum_i mask * x[g,i,:] * (y - sigmoid(eta))
-    eta = jax.lax.dot_general(
-        x_ref[:], beta_ref[:],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (TG, n, TC)
-    y = y_ref[:][:, :, None]
-    m = mask_ref[:][:, :, None]
-    ll = (y * eta - nn.softplus(eta)) * m
-    out_ref[:] = jnp.sum(ll, axis=1)
-    resid = (y - nn.sigmoid(eta)) * m  # (TG, n, TC)
-    gout_ref[:] = jax.lax.dot_general(
-        x_ref[:], resid,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (TG, p, TC)
+def _make_logp_grad_kernel(p: int):
+    def _logp_grad_kernel(x_ref, y_ref, mask_ref, beta_ref,
+                          out_ref, gout_ref):
+        # grad[c,g,:] = sum_i mask * x[g,i,:] * (y - sigmoid(eta))
+        x = x_ref[:]
+        eta = _eta_vpu(x, beta_ref[:], p)  # (TG, n, TC)
+        y = y_ref[:][:, :, None]
+        m = mask_ref[:][:, :, None]
+        ll = (y * eta - nn.softplus(eta)) * m
+        out_ref[:] = jnp.sum(ll, axis=1)
+        resid = (y - nn.sigmoid(eta)) * m  # (TG, n, TC)
+        for k in range(p):  # (TG, p, TC) via p VPU reductions
+            gout_ref[:, k, :] = jnp.sum(
+                x[:, :, k][:, :, None] * resid, axis=1
+            )
+
+    return _logp_grad_kernel
 
 
 def logistic_logp_grad_pallas(beta, x, y, mask, interpret: bool | None = None):
@@ -162,13 +175,13 @@ def logistic_logp_grad_pallas(beta, x, y, mask, interpret: bool | None = None):
     n = x.shape[1]
     TC = _pick_tile(C, (256, 128, 64, 32, 16, 8))
     TG = _group_tile(n, p, TC, G, n_inter=2,
-                     extra_out=_r8(p) * _r128(TC) * 4, max_tg=32)
+                     extra_out=_r8(p) * _r128(TC) * 4, max_tg=64)
     bt = jnp.transpose(beta, (1, 2, 0))
     (x_p, y_p, mask_p, bt_p), Gp = _pad_groups([x, y, mask, bt], G, TG)
 
     grid = (Gp // TG, C // TC)
     out, gout = pl.pallas_call(
-        _logp_grad_kernel,
+        _make_logp_grad_kernel(p),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TG, n, p), lambda g, c: (g, 0, 0)),

@@ -13,19 +13,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.scipy.special import gammaln
 
-from nestmc.ops.pallas.loglik_logistic import _group_tile, _pad_groups, _pick_tile
+from nestmc.ops.pallas.loglik_logistic import (
+    _eta_vpu,
+    _group_tile,
+    _pad_groups,
+    _pick_tile,
+)
 
 
-def _poisson_kernel(x_ref, y_ref, mask_ref, beta_ref, out_ref):
-    eta = jax.lax.dot_general(
-        x_ref[:], beta_ref[:],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (TG, n, TC)
-    y = y_ref[:][:, :, None]
-    m = mask_ref[:][:, :, None]
-    ll = (y * eta - jnp.exp(eta)) * m
-    out_ref[:] = jnp.sum(ll, axis=1)
+def _make_poisson_kernel(p: int):
+    def _poisson_kernel(x_ref, y_ref, mask_ref, beta_ref, out_ref):
+        eta = _eta_vpu(x_ref[:], beta_ref[:], p)  # (TG, n, TC)
+        y = y_ref[:][:, :, None]
+        m = mask_ref[:][:, :, None]
+        ll = (y * eta - jnp.exp(eta)) * m
+        out_ref[:] = jnp.sum(ll, axis=1)
+
+    return _poisson_kernel
 
 
 def poisson_loglik_padded_pallas(
@@ -46,7 +50,7 @@ def poisson_loglik_padded_pallas(
 
     grid = (Gp // TG, C // TC)
     out = pl.pallas_call(
-        _poisson_kernel,
+        _make_poisson_kernel(p),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TG, n, p), lambda g, c: (g, 0, 0)),

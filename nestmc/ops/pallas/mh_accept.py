@@ -34,6 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nestmc.ops.pallas.loglik_logistic import (
+    _eta_vpu,
     _group_tile,
     _pad_groups,
     _pick_tile,
@@ -61,7 +62,8 @@ def _normal(shape):
     return r * jnp.cos(_TWO_PI * u2)
 
 
-def _fused_kernel(
+def _make_fused_kernel(p: int):
+  def _fused_kernel(
     seed_ref,                     # (1, 1) int32 in SMEM
     x_ref, y_ref, mask_ref,       # (TG,n,p), (TG,n), (TG,n)
     beta_ref,                     # (TG, p, TC)
@@ -77,11 +79,7 @@ def _fused_kernel(
     step = jnp.exp(ls_ref[:])[:, None, :] * _normal(beta.shape)
     prop = beta + step
 
-    eta = jax.lax.dot_general(
-        x_ref[:], prop,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                                    # (TG, n, TC)
+    eta = _eta_vpu(x_ref[:], prop, p)                    # (TG, n, TC)
     y = y_ref[:][:, :, None]
     m = mask_ref[:][:, :, None]
     lik_prop = jnp.sum((y * eta - nn.softplus(eta)) * m, axis=1)
@@ -100,6 +98,8 @@ def _fused_kernel(
     out_lik_ref[:] = jnp.where(accept, lik_prop, lik_ref[:])
     alpha = jnp.exp(jnp.minimum(log_alpha, 0.0))
     out_alpha_ref[:] = jnp.where(jnp.isnan(log_alpha), 0.0, alpha)
+
+  return _fused_kernel
 
 
 def fused_rwmh_logistic_step(
@@ -133,7 +133,7 @@ def fused_rwmh_logistic_step(
 
     grid = (Gp // TG, C // TC)
     new_bt, new_lik, alpha = pl.pallas_call(
-        _fused_kernel,
+        _make_fused_kernel(p),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
