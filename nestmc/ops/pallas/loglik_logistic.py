@@ -41,7 +41,7 @@ def _r128(v: int) -> int:
 def _group_tile(n: int, p: int, TC: int, G: int,
                 n_inter: int = 1, extra_out: int = 0,
                 vmem_budget: int = 8 * 1024 * 1024,
-                max_tg: int = 128) -> int:
+                max_tg: int = 64) -> int:
     """Largest group tile whose VMEM working set fits the budget.
 
     Too-small tiles make the grid long and per-step overhead dominates
@@ -64,9 +64,9 @@ def _group_tile(n: int, p: int, TC: int, G: int,
         + n_inter * inter_b
     )
     tg = max(1, vmem_budget // max(per_group, 1))
-    # max_tg additionally bounds Mosaic compile time (larger bodies compile
-    # slower; with the VPU eta formulation the dependence is mild — the old
-    # per-group batched dots unrolled and cost 393 s to compile at TG=120).
+    # max_tg bounds Mosaic compile time, which is strongly superlinear in
+    # the leading block dim regardless of formulation (measured at G=100k:
+    # TG=128 -> 308 s, TG=64 -> 14-25 s, runtime within 20% either way).
     tg = min(tg, max_tg, G)
     return max(8, (tg // 8) * 8)
 
