@@ -178,7 +178,9 @@ def sample(
                 log.info("warmup: %d/%d sweeps (%.0f sweeps/s)",
                          done, rc.warmup, rate)
             _maybe_checkpoint(cfg, state, "warmup", i)
-        jax.block_until_ready(state.t)
+        # block the FULL carry so warmup_s measures device completion, not
+        # async dispatch (single-leaf blocking under-measured on axon)
+        jax.block_until_ready(state)
         warm_rates = _accept_rates(state, rc.warmup)
         state = _reset_accept(state)
     timings["warmup_s"] = time.perf_counter() - t_w
@@ -214,6 +216,7 @@ def sample(
         jax.block_until_ready(draws)
     else:
         draws = {}
+    jax.block_until_ready(state)
     timings["sample_s"] = time.perf_counter() - t_s
 
     total_sample_sweeps = rc.draws * max(1, rc.thin)
