@@ -21,9 +21,13 @@ from jax.scipy.special import gammaln
 
 
 def _eta_padded(beta, x):
-    # (C,G,p) x (G,n,p) -> (C,G,n); contracted over p on the MXU.
+    # (C,G,p) x (G,n,p) -> (C,G,n). precision=HIGHEST: TPU matmuls default
+    # to bf16 inputs (~4e-3 rel error); the reference path must be exact f32
+    # (the Pallas kernels compute eta in true f32 on the VPU).
     return jnp.einsum(
-        "cgp,gnp->cgn", beta, x, preferred_element_type=jnp.float32
+        "cgp,gnp->cgn", beta, x,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -66,7 +70,9 @@ def _eta_segment(beta, x, segment_ids):
     # beta (C,G,p), x (N,p) -> (C,N): gather each obs's group coefficients.
     beta_obs = jnp.take(beta, segment_ids, axis=1)  # (C, N, p)
     return jnp.einsum(
-        "cnp,np->cn", beta_obs, x, preferred_element_type=jnp.float32
+        "cnp,np->cn", beta_obs, x,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

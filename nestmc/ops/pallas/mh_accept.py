@@ -46,12 +46,17 @@ _TWO_PI = 2.0 * math.pi
 
 
 def _uniform_01(shape):
-    """Uniform in (0, 1): top 24 bits of the PRNG, offset off exact 0."""
+    """Uniform in (0, 1): top 24 bits of the PRNG, offset off exact 0.
+
+    Mosaic has no uint32->f32 cast; shift clears the top byte, so a bitcast
+    to int32 is value-preserving and int32->f32 lowers fine.
+    """
     bits = pltpu.prng_random_bits(shape)
     u24 = jax.lax.shift_right_logical(
         pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
     )
-    return u24.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+    u24i = pltpu.bitcast(u24, jnp.int32)
+    return u24i.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
 
 
 def _normal(shape):
@@ -72,8 +77,12 @@ def _make_fused_kernel(p: int):
     mu_ref, itau2_ref,            # (p, TC) mu and 1/tau^2 (chains-minor)
     out_beta_ref, out_lik_ref, out_alpha_ref,
 ):
+    # single-scalar seed: Mosaic rejects multi-operand prng_set_seed_32.
+    # Distinct grid cells get distinct seeds (pid1 < 126 in practice).
     pltpu.prng_seed(
-        seed_ref[0, 0], pl.program_id(0), pl.program_id(1)
+        seed_ref[0, 0]
+        + pl.program_id(0) * jnp.int32(1000003)
+        + pl.program_id(1) * jnp.int32(7919)
     )
     beta = beta_ref[:]                                   # (TG, p, TC)
     step = jnp.exp(ls_ref[:])[:, None, :] * _normal(beta.shape)
