@@ -171,8 +171,11 @@ def sample(
         for i, L in enumerate(_segment_lengths(rc.warmup, rc.segment_size)):
             with jax.profiler.TraceAnnotation(f"nestmc.warmup.seg{i}"):
                 state = warmup_segment(state, data, length=L)
+            # block every segment: on the remote-TPU backend, blocking on a
+            # downstream value under-reports (buffers complete out of band),
+            # so honest phase timings need a hard sync per segment.
+            jax.block_until_ready(state.t)
             if rc.log_every_segment:
-                jax.block_until_ready(state.t)
                 done = int(state.t)
                 rate = done / max(time.perf_counter() - t_w, 1e-9)
                 log.info("warmup: %d/%d sweeps (%.0f sweeps/s)",
@@ -201,8 +204,8 @@ def sample(
             state, seg_draws = sample_segment(state, data, length=L)
         segments.append(seg_draws)
         drawn += L
+        jax.block_until_ready(state.t)
         if rc.log_every_segment:
-            jax.block_until_ready(state.t)
             rate = drawn * max(1, rc.thin) / max(
                 time.perf_counter() - t_s, 1e-9
             )
