@@ -1,0 +1,229 @@
+"""Generic two-level hierarchical GLM — the families beyond the named
+benchmark models (capability breadth of the reference: hierarchical models
+over nested data with standard response families).
+
+    y_ij ~ family(eta_ij = x_ij . beta_j [, aux])
+    beta_j ~ N(mu, diag(tau^2)),  mu_k conjugate-Gibbs,  tau_k per-coord MH
+
+Families:
+  'gaussian':  y ~ N(eta, sigma), sigma unknown -> extra population block
+               log_sigma that ENTERS the likelihood (exercises the
+               data-dependent population-block path; no likelihood cache).
+  'binomial':  y successes of data.extra['trials'] trials, logit link.
+  'bernoulli': special case of binomial with 1 trial (prefer
+               models.make_hier_logistic, which has the Pallas/fused paths).
+
+Shares the mixing machinery of the benchmark models: sufficient-stat hyper
+conditionals, conjugate mu, per-coordinate log_tau with repeats, ASIS
+interweaving move for (tau, beta).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from nestmc.data import NestedData
+from nestmc.distributions import (
+    logpdf_halfnormal,
+    logpdf_normal,
+)
+from nestmc.model import Block, ModelSpec
+
+_LOG_2PI = 1.8378770664093453
+
+
+def make_hier_glm(
+    data: NestedData,
+    family: str = "gaussian",
+    prior_mu_scale: float = 5.0,
+    prior_tau_scale: float = 2.0,
+    prior_sigma_scale: float = 2.0,
+) -> ModelSpec:
+    G = data.num_groups
+    p = data.num_covariates
+    gaussian = family == "gaussian"
+    if family == "binomial":
+        trials = data.extra["trials"]  # (G, n)
+        log_binom = (
+            gammaln(trials + 1.0) - gammaln(data.y + 1.0)
+            - gammaln(trials - data.y + 1.0)
+        ) * data.mask
+    elif family == "bernoulli":
+        trials = jnp.ones_like(data.y)
+        log_binom = jnp.zeros_like(data.y)
+    elif not gaussian:
+        raise ValueError(f"unknown family {family!r}")
+
+    def _eta(beta):
+        return jnp.einsum(
+            "cgp,gnp->cgn", beta, data.x,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def _lik(state):
+        eta = _eta(state["beta"])          # (C, G, n)
+        if gaussian:
+            sigma = jnp.exp(state["log_sigma"])[:, None, None]
+            z = (data.y - eta) / sigma
+            ll = -0.5 * (z * z + _LOG_2PI) - jnp.log(sigma)
+        else:
+            ll = (
+                data.y * eta - trials * jax.nn.softplus(eta) + log_binom
+            )
+        return jnp.sum(ll * data.mask, axis=-1)  # (C, G)
+
+    def _gprior(state):
+        mu = state["mu"][:, None, :]
+        tau = jnp.exp(state["log_tau"])[:, None, :]
+        return jnp.sum(logpdf_normal(state["beta"], mu, tau), axis=-1)
+
+    def _suff(beta):
+        return jnp.sum(beta, axis=1), jnp.sum(beta**2, axis=1)
+
+    def _gprior_perk(s1, s2, mu, log_tau):
+        quad = s2 - 2.0 * mu * s1 + G * mu * mu
+        return (
+            -0.5 * quad * jnp.exp(-2.0 * log_tau)
+            - G * log_tau - 0.5 * G * _LOG_2PI
+        )
+
+    def cond(name, value, state, data_):
+        state = {**state, name: value}
+        if name == "beta":
+            return _lik(state) + _gprior(state)
+        if name == "log_sigma":
+            prior = (
+                logpdf_halfnormal(jnp.exp(value), prior_sigma_scale) + value
+            )
+            return jnp.sum(_lik(state), axis=-1) + prior
+        s1, s2 = _suff(state["beta"])
+        if name == "mu":
+            return _gprior_perk(
+                s1, s2, state["mu"], state["log_tau"]
+            ) + logpdf_normal(state["mu"], 0.0, prior_mu_scale)
+        if name == "log_tau":
+            tau = jnp.exp(state["log_tau"])
+            return (
+                _gprior_perk(s1, s2, state["mu"], state["log_tau"])
+                + logpdf_halfnormal(tau, prior_tau_scale)
+                + state["log_tau"]
+            )
+        raise KeyError(name)
+
+    def joint(state, data_):
+        out = (
+            jnp.sum(_lik(state), axis=-1)
+            + jnp.sum(_gprior(state), axis=-1)
+            + jnp.sum(
+                logpdf_normal(state["mu"], 0.0, prior_mu_scale), axis=-1
+            )
+            + jnp.sum(
+                logpdf_halfnormal(jnp.exp(state["log_tau"]),
+                                  prior_tau_scale)
+                + state["log_tau"], axis=-1,
+            )
+        )
+        if gaussian:
+            out = out + logpdf_halfnormal(
+                jnp.exp(state["log_sigma"]), prior_sigma_scale
+            ) + state["log_sigma"]
+        return out
+
+    def init_state(key, data_, chains):
+        ks = jax.random.split(key, 4)
+        st = {
+            "beta": 0.3 * jax.random.normal(ks[0], (chains, G, p)),
+            "mu": 0.3 * jax.random.normal(ks[1], (chains, p)),
+            "log_tau": -0.5 + 0.3 * jax.random.normal(ks[2], (chains, p)),
+        }
+        if gaussian:
+            st["log_sigma"] = 0.2 * jax.random.normal(ks[3], (chains,))
+        return st
+
+    def gibbs_mu(key, state, data_):
+        s1, _ = _suff(state["beta"])
+        inv_tau2 = jnp.exp(-2.0 * state["log_tau"])
+        prec = G * inv_tau2 + 1.0 / prior_mu_scale**2
+        mean = s1 * inv_tau2 / prec
+        eps = jax.random.normal(key, mean.shape, mean.dtype)
+        return mean + eps / jnp.sqrt(prec)
+
+    def asis_tau_move(key, position, cache, scale, data_):
+        k1, k2 = jax.random.split(key)
+        beta, mu, lt = position["beta"], position["mu"], position["log_tau"]
+        C = lt.shape[0]
+        lt_new = lt + scale * jax.random.normal(k1, lt.shape, lt.dtype)
+        ratio = jnp.exp(lt_new - lt)[:, None, :]
+        beta_new = mu[:, None, :] + (beta - mu[:, None, :]) * ratio
+        lik_old = jnp.sum(_lik(position), axis=-1)
+        lik_new = jnp.sum(_lik({**position, "beta": beta_new}), axis=-1)
+        tau, tau_new = jnp.exp(lt), jnp.exp(lt_new)
+        prior_delta = jnp.sum(
+            logpdf_halfnormal(tau_new, prior_tau_scale) + lt_new
+            - logpdf_halfnormal(tau, prior_tau_scale) - lt, axis=-1,
+        )
+        log_alpha = lik_new - lik_old + prior_delta
+        logu = jnp.log(jax.random.uniform(
+            k2, (C,), lt.dtype, minval=jnp.finfo(lt.dtype).tiny
+        ))
+        accept = logu < log_alpha
+        pos_up = {
+            "beta": jnp.where(accept[:, None, None], beta_new, beta),
+            "log_tau": jnp.where(accept[:, None], lt_new, lt),
+        }
+        alpha = jnp.where(
+            jnp.isnan(log_alpha), 0.0,
+            jnp.exp(jnp.minimum(log_alpha, 0.0)),
+        )
+        return pos_up, {}, alpha
+
+    blocks = [
+        Block("beta", (G, p), units=G, init_scale=0.3),
+        Block("mu", (p,), units=p, init_scale=0.2),
+        Block("log_tau", (p,), units=p, init_scale=0.2, repeats=4),
+    ]
+    if gaussian:
+        # scalar noise: data-dependent population block (touches lik)
+        blocks.append(Block("log_sigma", (), init_scale=0.1, repeats=2))
+
+    return ModelSpec(
+        name=f"hier_glm_{family}",
+        blocks=tuple(blocks),
+        cond_logdensity=cond,
+        joint_logdensity=joint,
+        init_state=init_state,
+        gibbs_draws={"mu": gibbs_mu},
+        joint_moves={"asis_tau": asis_tau_move},
+    )
+
+
+def synth_glm(
+    key, family: str = "gaussian", G: int = 50, n: int = 20, p: int = 3,
+    sigma: float = 0.7, trials: int = 10,
+):
+    ks = jax.random.split(key, 6)
+    mu = 0.4 * jax.random.normal(ks[0], (p,))
+    tau = 0.25 + 0.2 * jnp.abs(jax.random.normal(ks[1], (p,)))
+    beta = mu + tau * jax.random.normal(ks[2], (G, p))
+    x = jax.random.normal(ks[3], (G, n, p))
+    x = x.at[:, :, 0].set(1.0)
+    eta = jnp.einsum("gnp,gp->gn", x, beta)
+    extra = {}
+    if family == "gaussian":
+        y = eta + sigma * jax.random.normal(ks[4], (G, n))
+    elif family == "binomial":
+        m = jnp.full((G, n), float(trials))
+        y = jax.random.binomial(ks[4], m, jax.nn.sigmoid(eta))
+        extra["trials"] = m
+    else:
+        raise ValueError(family)
+    data = NestedData(
+        y=y.astype(jnp.float32), mask=jnp.ones((G, n), jnp.float32),
+        sizes=jnp.full((G,), n, jnp.int32), x=x.astype(jnp.float32),
+        extra=extra,
+    )
+    truth = {"mu": mu, "tau": tau, "sigma": sigma}
+    return data, truth
