@@ -20,8 +20,11 @@ class KernelConfig:
     target_accept: None -> per-block standard optimum (0.44 scalar RW /
       0.234 multivariate RW / 0.574 MALA, Roberts & Rosenthal).
     adapt_*: Robbins-Monro schedule log s += c*(t+t0)^-kappa * (alpha-target).
-    precond: 'none' | 'diag' — diagonal (per-coordinate) EMA-variance
-      preconditioning of proposals, frozen after warmup.
+    precond: 'none' | 'diag' | 'full' — proposal preconditioning learned
+      during warmup (frozen after): per-coordinate EMA variances, or the
+      full Haario per-(chain, unit) EMA covariance (Cholesky-shaped noise;
+      blocks with scalar units fall back to diag). RW-MH only for 'full';
+      MALA uses diag at most.
     scale_per_unit: adapt one proposal scale per (chain, unit) instead of per
       chain — important for ragged group sizes.
     """

@@ -32,6 +32,16 @@ def as_cu(d, block: Block):
     return d if block.units else d[:, None]
 
 
+def apply_precond(eps, pstd):
+    """Shape the proposal noise: elementwise std (diag) or L @ eps (full
+    Cholesky factor, detected by the extra trailing matrix dim)."""
+    if pstd is None:
+        return eps
+    if pstd.ndim == eps.ndim + 1:
+        return jnp.einsum("...ij,...j->...i", pstd, eps)
+    return eps * pstd
+
+
 def accept_prob(log_alpha):
     """min(1, exp(log_alpha)) with NaN -> 0 (NaN proposals must reject)."""
     a = jnp.exp(jnp.minimum(log_alpha, 0.0))
@@ -66,9 +76,9 @@ def rwmh_update(key, block: Block, model: ModelSpec, position, log_scale,
     """
     value = position[block.name]
     k_eps, k_u = jax.random.split(key)
-    eps = jax.random.normal(k_eps, value.shape, value.dtype)
-    if pstd is not None:
-        eps = eps * pstd
+    eps = apply_precond(
+        jax.random.normal(k_eps, value.shape, value.dtype), pstd
+    )
     step = bcast_over_unit_shape(jnp.exp(log_scale), block) * eps
     prop = value + step
 

@@ -81,7 +81,9 @@ def init_kernel_state(
         # init_scale carries the model author's rough posterior-scale guess.
         s0 = b.init_scale * 2.38 / math.sqrt(max(b.unit_dim, 1))
         log_scale[b.name] = jnp.full((chains, u), math.log(s0), dtype)
-        precond[b.name] = init_precond(position[b.name], cfg.kernel)
+        precond[b.name] = init_precond(
+            position[b.name], cfg.kernel, unit_dim=b.unit_dim
+        )
         accept_sum[b.name] = jnp.zeros((chains, max(b.units, 1)), dtype)
         algorithm = b.algorithm or cfg.kernel.algorithm
         if b.name in model.cond_cached and algorithm == "rwmh":

@@ -84,7 +84,11 @@ def state_shardings(model, cfg: SamplerConfig, mesh: Mesh):
             cache[b.name] = {"v": cu_spec, "g": val}
         else:
             cache[b.name] = None
-        if cfg.kernel.precond == "diag":
+        if cfg.kernel.precond == "full" and b.unit_dim > 1:
+            precond[b.name] = {
+                "mean": val, "cov": val, "count": ns("chains"),
+            }
+        elif cfg.kernel.precond in ("diag", "full"):
             precond[b.name] = {
                 "mean": val, "var": val, "count": ns("chains"),
             }

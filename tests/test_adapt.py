@@ -69,6 +69,47 @@ def test_mala_acceptance_converges():
     assert abs(acc - 0.574) < 0.08, f"MALA acceptance {acc}"
 
 
+def test_full_precond_learns_correlation():
+    """Target N(0, S) with corr 0.9: the Haario covariance EMA must
+    recover S and the correlated directions must actually mix."""
+    import numpy as np
+
+    rho = 0.9
+    cov = jnp.array([[1.0, rho], [rho, 1.0]])
+    prec = jnp.linalg.inv(cov)
+
+    def cond(name, value, state, data):
+        q = jnp.einsum("...i,ij,...j->...", value, prec, value)
+        return -0.5 * q
+
+    model = ModelSpec(
+        name="corr2d",
+        blocks=(Block("x", (2,), init_scale=1.0),),
+        cond_logdensity=cond,
+        joint_logdensity=lambda s, d: cond("x", s["x"], s, d),
+        init_state=lambda key, data, chains: {
+            "x": jax.random.normal(key, (chains, 2))
+        },
+    )
+    cfg = SamplerConfig(
+        kernel=KernelConfig(precond="full"),
+        run=RunConfig(
+            chains=64, warmup=3000, draws=1500, seed=6,
+            log_every_segment=False,
+        ),
+    )
+    post = sample(model, None, cfg)
+    acc = float(jnp.mean(post.accept_rates["x"]))
+    assert abs(acc - 0.234) < 0.08, acc
+    learned = np.asarray(jnp.mean(post.final_state.precond["x"]["cov"], 0))
+    corr = learned[0, 1] / np.sqrt(learned[0, 0] * learned[1, 1])
+    assert corr > 0.7, f"learned correlation {corr}, want ~{rho}"
+    # the anti-correlated (narrow) direction must mix: sd of x0 - x1
+    diff_sd = float(jnp.std(post.draws["x"][..., 0] - post.draws["x"][..., 1]))
+    expect = np.sqrt(2 * (1 - rho))
+    assert 0.6 * expect < diff_sd < 1.6 * expect, (diff_sd, expect)
+
+
 def test_diag_precond_learns_anisotropy():
     """Target N(0, diag(1, 100)): preconditioned RW should reach near-target
     acceptance AND mix both coordinates (plain RW would crawl on x2)."""
