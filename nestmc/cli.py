@@ -45,7 +45,13 @@ def _build_parser():
                    help="resume from latest checkpoint in --checkpoint-dir")
     r.add_argument("--profile", metavar="DIR",
                    help="write a jax.profiler trace to DIR")
+    r.add_argument("--log-rhat", action="store_true",
+                   help="log worst split R-hat of draws-so-far per segment")
+    r.add_argument("--cost-analysis", action="store_true",
+                   help="print XLA cost analysis + roofline of one sweep")
     r.add_argument("--debug-nans", action="store_true")
+    r.add_argument("--enable-checks", action="store_true",
+                   help="enable jax internal invariant checking")
     r.add_argument("--metric-json", action="store_true",
                    help="print the benchmark metric as one JSON line")
     r.add_argument("--quiet", action="store_true")
@@ -67,6 +73,8 @@ def _apply_overrides(cfg, args):
         run_over["segment_size"] = args.segment_size
     if args.quiet:
         run_over["log_every_segment"] = False
+    if getattr(args, "log_rhat", False):
+        run_over["log_rhat"] = True
     kern_over = {
         k: getattr(args, k)
         for k in ("algorithm", "precond")
@@ -88,6 +96,8 @@ def _apply_overrides(cfg, args):
 def cmd_run(args) -> int:
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.enable_checks:
+        jax.config.update("jax_enable_checks", True)
 
     from nestmc.checkpoint import latest_tag, load_checkpoint
     from nestmc.engine import sample
@@ -98,6 +108,15 @@ def cmd_run(args) -> int:
         args.preset, seed=args.seed or 0, scale=args.scale
     )
     cfg = _apply_overrides(cfg, args)
+
+    if args.cost_analysis:
+        from nestmc.utils.profiling import sweep_cost
+
+        costs = sweep_cost(model, data, cfg)
+        print("sweep cost analysis:", json.dumps(
+            {k: (round(v, 3) if isinstance(v, float) else v)
+             for k, v in costs.items()}
+        ), file=sys.stderr)
 
     init_state = None
     skip_warmup = False

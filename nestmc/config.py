@@ -66,6 +66,10 @@ class RunConfig:
     checkpoint_dir: str | None = None
     checkpoint_every: int = 0  # segments between checkpoints; 0 = off
     log_every_segment: bool = True
+    log_rhat: bool = False  # also log worst split R-hat of draws so far
+    # (classic split R-hat on the cumulative collected draws; one extra
+    # on-device reduction per segment, no extra host traffic beyond the
+    # scalar)
 
 
 @dataclass(frozen=True)

@@ -209,8 +209,20 @@ def sample(
             rate = drawn * max(1, rc.thin) / max(
                 time.perf_counter() - t_s, 1e-9
             )
-            log.info("sample: %d/%d draws (%.0f sweeps/s)",
-                     drawn, rc.draws, rate)
+            extra = ""
+            if rc.log_rhat and drawn >= 8:
+                from nestmc.diagnostics import split_rhat
+
+                sofar = jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, axis=1), *segments
+                )
+                worst = jnp.max(jnp.stack([
+                    jnp.max(split_rhat(v)) for v in
+                    jax.tree_util.tree_leaves(sofar)
+                ]))
+                extra = f", worst split-rhat so far {float(worst):.4f}"
+            log.info("sample: %d/%d draws (%.0f sweeps/s)%s",
+                     drawn, rc.draws, rate, extra)
         _maybe_checkpoint(cfg, state, "sample", i, {"draws_done": drawn})
     if segments:
         draws = jax.tree_util.tree_map(

@@ -1,0 +1,92 @@
+"""Engine edge cases: segmentation, collection, derived subsets, phases."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from nestmc import RunConfig, SamplerConfig, sample
+from nestmc.engine import _segment_lengths
+from nestmc.models import make_eight_schools
+
+
+def test_segment_lengths():
+    assert _segment_lengths(10, 4) == [4, 4, 2]
+    assert _segment_lengths(4, 10) == [4]
+    assert _segment_lengths(0, 10) == []
+    assert _segment_lengths(5, 1) == [1] * 5
+
+
+@pytest.fixture(scope="module")
+def es():
+    return make_eight_schools()
+
+
+def test_collect_derived_subset(es):
+    """Derived quantities (theta = mu + tau z) collectable with unit subset."""
+    model, data = es
+    cfg = SamplerConfig(run=RunConfig(
+        chains=4, warmup=20, draws=30, log_every_segment=False,
+        collect={"mu": None, "theta": 3},
+    ))
+    post = sample(model, data, cfg)
+    assert post.draws["theta"].shape == (4, 30, 3)
+    assert post.draws["mu"].shape == (4, 30)
+    assert np.all(np.isfinite(np.asarray(post.draws["theta"])))
+
+
+def test_default_collect_includes_derived(es):
+    model, data = es
+    cfg = SamplerConfig(run=RunConfig(
+        chains=4, warmup=10, draws=10, log_every_segment=False,
+    ))
+    post = sample(model, data, cfg)
+    assert set(post.draws) == {"z", "mu", "log_tau", "theta"}
+
+
+def test_uneven_segments_match_single_segment(es):
+    """Draws must not depend on segmentation (same seeds, same scans)."""
+    model, data = es
+
+    def run(seg):
+        cfg = SamplerConfig(run=RunConfig(
+            chains=4, warmup=24, draws=30, seed=3, segment_size=seg,
+            log_every_segment=False, collect={"mu": None},
+        ))
+        return sample(model, data, cfg)
+
+    a, b = run(30), run(7)
+    np.testing.assert_array_equal(
+        np.asarray(a.draws["mu"]), np.asarray(b.draws["mu"])
+    )
+
+
+def test_warmup_rates_separate_from_sampling(es):
+    model, data = es
+    cfg = SamplerConfig(run=RunConfig(
+        chains=4, warmup=50, draws=50, log_every_segment=False,
+    ))
+    post = sample(model, data, cfg)
+    for k in post.accept_rates:
+        w = np.asarray(post.warmup_accept_rates[k])
+        s = np.asarray(post.accept_rates[k])
+        assert np.all(w >= 0) and np.all(w <= 1.0 + 1e-6)
+        assert np.all(s >= 0) and np.all(s <= 1.0 + 1e-6)
+
+
+def test_log_rhat_flag_runs(es, caplog):
+    model, data = es
+    cfg = SamplerConfig(run=RunConfig(
+        chains=4, warmup=10, draws=20, segment_size=10,
+        log_every_segment=True, log_rhat=True, collect={"mu": None},
+    ))
+    import logging
+
+    logger = logging.getLogger("nestmc")
+    logger.propagate = True  # nestmc logger doesn't propagate by default
+    try:
+        with caplog.at_level(logging.INFO, logger="nestmc"):
+            sample(model, data, cfg)
+    finally:
+        logger.propagate = False
+    assert any("worst split-rhat" in r.message for r in caplog.records)
