@@ -171,19 +171,16 @@ def sample(
         for i, L in enumerate(_segment_lengths(rc.warmup, rc.segment_size)):
             with jax.profiler.TraceAnnotation(f"nestmc.warmup.seg{i}"):
                 state = warmup_segment(state, data, length=L)
-            # block every segment: on the remote-TPU backend, blocking on a
-            # downstream value under-reports (buffers complete out of band),
-            # so honest phase timings need a hard sync per segment.
-            jax.block_until_ready(state.t)
+            # hard sync every segment via a scalar HOST READ:
+            # block_until_ready is unreliable on the remote-TPU backend
+            # (intermittently returns before device completion), while a
+            # host read cannot lie. Costs one scalar transfer per segment.
+            done = int(state.t)
             if rc.log_every_segment:
-                done = int(state.t)
                 rate = done / max(time.perf_counter() - t_w, 1e-9)
                 log.info("warmup: %d/%d sweeps (%.0f sweeps/s)",
                          done, rc.warmup, rate)
             _maybe_checkpoint(cfg, state, "warmup", i)
-        # block the FULL carry so warmup_s measures device completion, not
-        # async dispatch (single-leaf blocking under-measured on axon)
-        jax.block_until_ready(state)
         warm_rates = _accept_rates(state, rc.warmup)
         state = _reset_accept(state)
     timings["warmup_s"] = time.perf_counter() - t_w
@@ -204,7 +201,7 @@ def sample(
             state, seg_draws = sample_segment(state, data, length=L)
         segments.append(seg_draws)
         drawn += L
-        jax.block_until_ready(state.t)
+        int(state.t)  # hard sync via host read (see warmup note)
         if rc.log_every_segment:
             rate = drawn * max(1, rc.thin) / max(
                 time.perf_counter() - t_s, 1e-9
@@ -231,7 +228,6 @@ def sample(
         jax.block_until_ready(draws)
     else:
         draws = {}
-    jax.block_until_ready(state)
     timings["sample_s"] = time.perf_counter() - t_s
 
     total_sample_sweeps = rc.draws * max(1, rc.thin)
