@@ -141,6 +141,32 @@ def make_nested_poisson(
             )
         raise KeyError(name)
 
+    def lik_value_and_grad(value, data_):
+        """(loglik (C,S), grad (C,S,p)) of the obs likelihood only — fused
+        Pallas kernel (nestmc/ops/pallas/loglik_poisson.py) or one vjp."""
+        if chosen == "pallas":
+            from nestmc.ops.pallas.loglik_poisson import (
+                poisson_logp_grad_pallas,
+            )
+
+            return poisson_logp_grad_pallas(
+                value, data.x, data.y, data.mask, lgamma_y
+            )
+        out, vjp = jax.vjp(lambda b: lik_fn(b, data, lgamma_y), value)
+        (g,) = vjp(jnp.ones_like(out))
+        return out, g
+
+    def sprior_value_and_grad(value, state, data_):
+        bg_s = jnp.take(state["beta_g"], data.subject_group, axis=1)
+        inv_tau2 = jnp.exp(-2.0 * state["log_tau_s"])[:, None, :]
+        diff = value - bg_s
+        val = jnp.sum(
+            -0.5 * diff * diff * inv_tau2
+            + 0.5 * jnp.log(inv_tau2) - 0.9189385332046727,
+            axis=-1,
+        )
+        return val, -diff * inv_tau2
+
     def gibbs_mu(key, state, data):
         """Exact conjugate draw of mu | beta_g, tau_g (per coordinate)."""
         s1, _ = _suff_g(state)
@@ -216,6 +242,9 @@ def make_nested_poisson(
                 lambda v, data: lik_fn(v, data, lgamma_y),
                 lambda v, state, data: _sprior({**state, "beta_s": v}),
             ),
+        },
+        cond_cached_grad={
+            "beta_s": (lik_value_and_grad, sprior_value_and_grad),
         },
         gibbs_draws={"mu": gibbs_mu},
     )

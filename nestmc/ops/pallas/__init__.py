@@ -15,10 +15,14 @@ from nestmc.ops.pallas.loglik_logistic import (
     logistic_loglik_padded_pallas,
     logistic_logp_grad_pallas,
 )
-from nestmc.ops.pallas.loglik_poisson import poisson_loglik_padded_pallas
+from nestmc.ops.pallas.loglik_poisson import (
+    poisson_loglik_padded_pallas,
+    poisson_logp_grad_pallas,
+)
 
 __all__ = [
     "logistic_loglik_padded_pallas",
     "logistic_logp_grad_pallas",
     "poisson_loglik_padded_pallas",
+    "poisson_logp_grad_pallas",
 ]

@@ -84,6 +84,27 @@ def test_logp_grad_parity(C, G, n, p):
     )
 
 
+@pytest.mark.parametrize("C,G,n,p", SHAPES[:2])
+def test_poisson_logp_grad_parity(C, G, n, p):
+    from nestmc.ops.pallas import poisson_logp_grad_pallas
+
+    beta, x, y, mask = _case(C, G, n, p, binary=False)
+    beta = beta * 0.5  # keep rates moderate
+
+    def f(b):
+        return poisson_loglik_padded(b, x, y, mask)
+
+    ref_val, vjp = jax.vjp(f, beta)
+    (ref_grad,) = vjp(jnp.ones_like(ref_val))
+    val, grad = poisson_logp_grad_pallas(beta, x, y, mask, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(val), np.asarray(ref_val), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(grad), np.asarray(ref_grad), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_pallas_inside_jit_and_model():
     """The kernel path must trace inside the engine's jit (via the model)."""
     from nestmc.models import make_hier_logistic, synth_logistic
