@@ -71,10 +71,11 @@ def _hier_logistic_1k(seed: int, scale: float):
     cfg = SamplerConfig(
         kernel=KernelConfig(algorithm="mala"),
         run=RunConfig(
-            chains=128,
-            warmup=max(50, int(400 * scale)),
-            draws=max(50, int(512 * scale)),
+            chains=256,
+            warmup=max(50, int(1000 * scale)),
+            draws=max(50, int(2048 * scale)),
             seed=seed,
+            segment_size=1024,
             collect={"mu": None, "log_tau": None, "beta": 8},
         ),
     )
