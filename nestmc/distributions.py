@@ -127,6 +127,25 @@ def logpdf_beta(x, a, b):
     )
 
 
+def log_scale_guard(log_scale, bound: float = 12.0):
+    """Support guard for log-scale parameters: 0 inside |x| < bound,
+    -inf outside (proposals beyond get rejected).
+
+    Why: in hierarchical models a group-level vector can underflow to
+    EXACTLY its mean in f32 (e.g. after an accepted interweaving rescale),
+    making the quadratic sufficient statistic 0 — the tau conditional is
+    then unbounded below and the chain diverges to log tau = -inf (NaNs
+    downstream). Bounding log tau to +/-12 (scales in [6e-6, 1.6e5])
+    truncates the prior immeasurably while keeping every exp(+/-2 log tau)
+    finite in f32. Add this term to any log-scale block's conditional.
+    """
+    return jnp.where(
+        jnp.abs(log_scale) < bound,
+        jnp.zeros_like(log_scale),
+        -jnp.inf,
+    )
+
+
 def logpdf_uniform(x, low=0.0, high=1.0):
     inside = (x >= low) & (x <= high)
     return jnp.where(inside, -jnp.log(high - low), -jnp.inf)

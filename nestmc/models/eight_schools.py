@@ -23,7 +23,11 @@ import jax
 import jax.numpy as jnp
 
 from nestmc.data import NestedData
-from nestmc.distributions import logpdf_halfcauchy, logpdf_normal
+from nestmc.distributions import (
+    log_scale_guard,
+    logpdf_halfcauchy,
+    logpdf_normal,
+)
 from nestmc.model import Block, ModelSpec
 
 
@@ -66,6 +70,7 @@ def _make_noncentered(data, prior_mu_scale, prior_tau_scale):
                 lik
                 + logpdf_halfcauchy(tau, prior_tau_scale)
                 + state["log_tau"]
+                + log_scale_guard(state["log_tau"])
             )
         raise KeyError(name)
 

@@ -26,6 +26,7 @@ from jax.scipy.special import gammaln
 
 from nestmc.data import NestedData
 from nestmc.distributions import (
+    log_scale_guard,
     logpdf_halfnormal,
     logpdf_normal,
 )
@@ -97,6 +98,7 @@ def make_hier_glm(
         if name == "log_sigma":
             prior = (
                 logpdf_halfnormal(jnp.exp(value), prior_sigma_scale) + value
+                + log_scale_guard(value)
             )
             return jnp.sum(_lik(state), axis=-1) + prior
         s1, s2 = _suff(state["beta"])
@@ -110,6 +112,7 @@ def make_hier_glm(
                 _gprior_perk(s1, s2, state["mu"], state["log_tau"])
                 + logpdf_halfnormal(tau, prior_tau_scale)
                 + state["log_tau"]
+                + log_scale_guard(state["log_tau"])
             )
         raise KeyError(name)
 
@@ -163,6 +166,7 @@ def make_hier_glm(
         tau, tau_new = jnp.exp(lt), jnp.exp(lt_new)
         prior_delta = jnp.sum(
             logpdf_halfnormal(tau_new, prior_tau_scale) + lt_new
+            + log_scale_guard(lt_new)
             - logpdf_halfnormal(tau, prior_tau_scale) - lt, axis=-1,
         )
         log_alpha = lik_new - lik_old + prior_delta

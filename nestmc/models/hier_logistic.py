@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 
 from nestmc.data import NestedData, RaggedData
-from nestmc.distributions import logpdf_halfnormal, logpdf_normal
+from nestmc.distributions import (
+    log_scale_guard,
+    logpdf_halfnormal,
+    logpdf_normal,
+)
 from nestmc.model import Block, ModelSpec
 from nestmc.ops.loglik import logistic_loglik_padded, logistic_loglik_segment
 
@@ -107,6 +111,7 @@ def make_hier_logistic(
             tau = jnp.exp(state["log_tau"])
             pprior = (
                 logpdf_halfnormal(tau, prior_tau_scale) + state["log_tau"]
+                + log_scale_guard(state["log_tau"])
             )
             return _gprior_perk_from_suff(
                 s1, s2, state["mu"], state["log_tau"]
@@ -195,6 +200,7 @@ def make_hier_logistic(
         tau, tau_new = jnp.exp(lt), jnp.exp(lt_new)
         prior_delta = jnp.sum(
             logpdf_halfnormal(tau_new, prior_tau_scale) + lt_new
+            + log_scale_guard(lt_new)
             - logpdf_halfnormal(tau, prior_tau_scale) - lt,
             axis=-1,
         )

@@ -19,7 +19,11 @@ import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
 from nestmc.data import NestedData3
-from nestmc.distributions import logpdf_halfnormal, logpdf_normal
+from nestmc.distributions import (
+    log_scale_guard,
+    logpdf_halfnormal,
+    logpdf_normal,
+)
 from nestmc.model import Block, ModelSpec
 from nestmc.ops.loglik import poisson_loglik_padded
 
@@ -130,7 +134,8 @@ def make_nested_poisson(
             if name == "mu":
                 return base + logpdf_normal(mu, 0.0, prior_mu_scale)
             tau = jnp.exp(lt)
-            return base + logpdf_halfnormal(tau, prior_tau_scale) + lt
+            return (base + logpdf_halfnormal(tau, prior_tau_scale) + lt
+                    + log_scale_guard(lt))
         if name == "log_tau_s":
             d2 = _dev2_s(state)
             lt = state["log_tau_s"]
@@ -138,6 +143,7 @@ def make_nested_poisson(
             return (
                 -0.5 * d2 * jnp.exp(-2.0 * lt) - S * lt - 0.5 * S * _LOG_2PI
                 + logpdf_halfnormal(tau, prior_tau_scale) + lt
+                + log_scale_guard(lt)
             )
         raise KeyError(name)
 
@@ -175,6 +181,123 @@ def make_nested_poisson(
         mean = s1 * inv_tau2 / prec
         eps = jax.random.normal(key, mean.shape, mean.dtype)
         return mean + eps / jnp.sqrt(prec)
+
+    # (G,) subjects per group, computed ONCE at construction (computing it
+    # inside the jitted draw would leak a tracer through the closure cache)
+    subj_counts = data.subjects_per_group().astype(jnp.float32)
+
+    def gibbs_beta_g(key, state, data):
+        """EXACT conjugate draw of beta_g | beta_s, mu, tau_s, tau_g.
+
+        beta_g touches no data (beta_s ~ N(beta_g, tau_s), beta_g ~
+        N(mu, tau_g): all Gaussian), so its full conditional is
+        N((S_g/tau_s^2 + mu/tau_g^2)/prec, 1/prec) per (group, coordinate),
+        prec = n_subjects(g)/tau_s^2 + 1/tau_g^2 — acceptance 1, removes the
+        middle level's random-walk bottleneck entirely."""
+        # per-group sums of beta_s: (C, G, p)
+        s_g = jax.ops.segment_sum(
+            jnp.swapaxes(state["beta_s"], 0, 1), data.subject_group,
+            num_segments=G, indices_are_sorted=True,
+        )
+        s_g = jnp.swapaxes(s_g, 0, 1)
+        inv_ts2 = jnp.exp(-2.0 * state["log_tau_s"])[:, None, :]
+        inv_tg2 = jnp.exp(-2.0 * state["log_tau_g"])[:, None, :]
+        prec = subj_counts[None, :, None] * inv_ts2 + inv_tg2
+        mean = (s_g * inv_ts2 + state["mu"][:, None, :] * inv_tg2) / prec
+        eps = jax.random.normal(key, mean.shape, mean.dtype)
+        return mean + eps / jnp.sqrt(prec)
+
+    def asis_tau_g_move(key, position, cache, scale, data_):
+        """ASIS interweaving for (tau_g, beta_g): rescale beta_g about mu
+        with z_g fixed. beta_s is unchanged, so the data likelihood is
+        untouched — the target ratio is the subject-prior change (beta_s |
+        beta_g') plus the tau_g prior/Jacobian. O(C S p) elementwise, no
+        likelihood evaluation."""
+        k1, k2 = jax.random.split(key)
+        bg, mu, lt = position["beta_g"], position["mu"], position["log_tau_g"]
+        C = lt.shape[0]
+        lt_new = lt + scale * jax.random.normal(k1, lt.shape, lt.dtype)
+        ratio = jnp.exp(lt_new - lt)[:, None, :]
+        bg_new = mu[:, None, :] + (bg - mu[:, None, :]) * ratio
+        sp_old = jnp.sum(_sprior(position), axis=-1)
+        sp_new = jnp.sum(
+            _sprior({**position, "beta_g": bg_new}), axis=-1
+        )
+        tau, tau_new = jnp.exp(lt), jnp.exp(lt_new)
+        prior_delta = jnp.sum(
+            logpdf_halfnormal(tau_new, prior_tau_scale) + lt_new
+            + log_scale_guard(lt_new)
+            - logpdf_halfnormal(tau, prior_tau_scale) - lt, axis=-1,
+        )
+        log_alpha = sp_new - sp_old + prior_delta
+        logu = jnp.log(jax.random.uniform(
+            k2, (C,), lt.dtype, minval=jnp.finfo(lt.dtype).tiny
+        ))
+        accept = logu < log_alpha
+        pos_up = {
+            "beta_g": jnp.where(accept[:, None, None], bg_new, bg),
+            "log_tau_g": jnp.where(accept[:, None], lt_new, lt),
+        }
+        alpha = jnp.where(
+            jnp.isnan(log_alpha), 0.0,
+            jnp.exp(jnp.minimum(log_alpha, 0.0)),
+        )
+        return pos_up, {}, alpha
+
+    def asis_tau_s_move(key, position, cache, scale, data_):
+        """ASIS interweaving for (tau_s, beta_s): rescale beta_s about its
+        group mean with z_s fixed. Changes beta_s, so one likelihood
+        evaluation (refreshing the carried cache)."""
+        k1, k2 = jax.random.split(key)
+        bs, lt = position["beta_s"], position["log_tau_s"]
+        C = lt.shape[0]
+        bg_s = jnp.take(position["beta_g"], data.subject_group, axis=1)
+        lt_new = lt + scale * jax.random.normal(k1, lt.shape, lt.dtype)
+        ratio = jnp.exp(lt_new - lt)[:, None, :]
+        bs_new = bg_s + (bs - bg_s) * ratio
+        lik_cache = cache.get("beta_s")
+        grad_mode = isinstance(lik_cache, dict)
+        if grad_mode:
+            lik_old = lik_cache["v"]
+            lik_new, grad_new = lik_value_and_grad(bs_new, data_)
+        else:
+            lik_new = lik_fn(bs_new, data, lgamma_y)
+            lik_old = lik_cache
+            if lik_old is None:
+                lik_old = lik_fn(bs, data, lgamma_y)
+        tau, tau_new = jnp.exp(lt), jnp.exp(lt_new)
+        prior_delta = jnp.sum(
+            logpdf_halfnormal(tau_new, prior_tau_scale) + lt_new
+            + log_scale_guard(lt_new)
+            - logpdf_halfnormal(tau, prior_tau_scale) - lt, axis=-1,
+        )
+        log_alpha = (
+            jnp.sum(lik_new - lik_old, axis=-1) + prior_delta
+        )
+        logu = jnp.log(jax.random.uniform(
+            k2, (C,), lt.dtype, minval=jnp.finfo(lt.dtype).tiny
+        ))
+        accept = logu < log_alpha
+        acc3 = accept[:, None, None]
+        pos_up = {
+            "beta_s": jnp.where(acc3, bs_new, bs),
+            "log_tau_s": jnp.where(accept[:, None], lt_new, lt),
+        }
+        cache_up = {}
+        if grad_mode:
+            cache_up["beta_s"] = {
+                "v": jnp.where(accept[:, None], lik_new, lik_old),
+                "g": jnp.where(acc3, grad_new, lik_cache["g"]),
+            }
+        elif lik_cache is not None:
+            cache_up["beta_s"] = jnp.where(
+                accept[:, None], lik_new, lik_old
+            )
+        alpha = jnp.where(
+            jnp.isnan(log_alpha), 0.0,
+            jnp.exp(jnp.minimum(log_alpha, 0.0)),
+        )
+        return pos_up, cache_up, alpha
 
     def joint(state, data):
         return (
@@ -246,7 +369,11 @@ def make_nested_poisson(
         cond_cached_grad={
             "beta_s": (lik_value_and_grad, sprior_value_and_grad),
         },
-        gibbs_draws={"mu": gibbs_mu},
+        gibbs_draws={"mu": gibbs_mu, "beta_g": gibbs_beta_g},
+        joint_moves={
+            "asis_tau_g": asis_tau_g_move,
+            "asis_tau_s": asis_tau_s_move,
+        },
     )
 
 

@@ -93,9 +93,10 @@ def _nested_poisson_1k(seed: int, scale: float):
     cfg = SamplerConfig(
         run=RunConfig(
             chains=512 if scale >= 1.0 else 32,
-            warmup=max(50, int(400 * scale)),
-            draws=max(50, int(512 * scale)),
+            warmup=max(50, int(1000 * scale)),
+            draws=max(50, int(1024 * scale)),
             seed=seed,
+            segment_size=1024,
             collect={
                 "mu": None, "log_tau_g": None, "log_tau_s": None,
                 "beta_g": 8, "beta_s": 8,
