@@ -25,6 +25,7 @@ from nestmc.model import ModelSpec
 from nestmc.parallel.sharding import make_mesh, shard_inputs
 from nestmc.posterior import Posterior
 from nestmc.utils.logging import get_logger
+from nestmc.utils.retry import with_transient_retry
 
 log = get_logger()
 
@@ -162,9 +163,11 @@ def sample(
     t_w = time.perf_counter()
     if not skip_warmup and rc.warmup > 0:
         t_c = time.perf_counter()
-        compiled = warmup_segment.lower(
-            state, data, length=min(rc.segment_size, rc.warmup)
-        ).compile()
+        compiled = with_transient_retry(
+            lambda: warmup_segment.lower(
+                state, data, length=min(rc.segment_size, rc.warmup)
+            ).compile()
+        )
         timings["warmup_compile_s"] = time.perf_counter() - t_c
         del compiled  # jit cache retains it
         t_w = time.perf_counter()
@@ -188,9 +191,11 @@ def sample(
     # ---- sampling (adaptation frozen) ----
     t_c = time.perf_counter()
     if rc.draws > 0:
-        _ = sample_segment.lower(
-            state, data, length=min(rc.segment_size, rc.draws)
-        ).compile()
+        _ = with_transient_retry(
+            lambda: sample_segment.lower(
+                state, data, length=min(rc.segment_size, rc.draws)
+            ).compile()
+        )
     timings["sample_compile_s"] = time.perf_counter() - t_c
 
     segments = []

@@ -37,7 +37,11 @@ class Posterior:
 
     def diagnostics(self) -> dict:
         if self._diag_cache is None:
-            self._diag_cache = jax.jit(diagnose)(self.draws)
+            from nestmc.utils.retry import with_transient_retry
+
+            self._diag_cache = with_transient_retry(
+                jax.jit(diagnose), self.draws
+            )
         return self._diag_cache
 
     def worst_rhat(self) -> float:
