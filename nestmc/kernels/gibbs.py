@@ -113,12 +113,16 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
 
         for j, (mname, move) in enumerate(model.joint_moves.items()):
             km = jax.random.fold_in(key_sweep, 1000 + j)
-            pos_up, cache_up, alpha = move(
-                km, position, cache, jnp.exp(log_scale[mname]), data
-            )
-            position.update(pos_up)
-            cache.update(cache_up)
-            alpha = alpha[:, None]  # (C, 1)
+            alphas_m = []
+            for r in range(max(1, model.joint_move_repeats.get(mname, 1))):
+                pos_up, cache_up, alpha = move(
+                    jax.random.fold_in(km, r), position, cache,
+                    jnp.exp(log_scale[mname]), data,
+                )
+                position.update(pos_up)
+                cache.update(cache_up)
+                alphas_m.append(alpha[:, None])  # (C, 1)
+            alpha = sum(alphas_m) / len(alphas_m)
             accept_sum[mname] = accept_sum[mname] + alpha
             if adapt:
                 log_scale[mname] = adapt_log_scale(

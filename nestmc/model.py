@@ -143,6 +143,9 @@ class ModelSpec:
     cond_cached: dict = dataclasses.field(default_factory=dict)
     gibbs_draws: dict = dataclasses.field(default_factory=dict)
     joint_moves: dict = dataclasses.field(default_factory=dict)
+    # {move_name: k}: run the move k times per sweep (worth it for cheap
+    # likelihood-free moves, e.g. group-level interweaving via suff stats)
+    joint_move_repeats: dict = dataclasses.field(default_factory=dict)
     # {block_name: fn(key, position, cache, log_scale, data) ->
     #  (new_value, new_cache, alpha)} single-kernel fused RW-MH updates
     # (propose+lik+accept in one Pallas pass); engaged only when

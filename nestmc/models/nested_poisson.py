@@ -374,6 +374,9 @@ def make_nested_poisson(
             "asis_tau_g": asis_tau_g_move,
             "asis_tau_s": asis_tau_s_move,
         },
+        # tau_g interweaving touches no data (O(C S p) elementwise) — repeat
+        # it; tau_s interweaving costs one likelihood eval, repeat modestly
+        joint_move_repeats={"asis_tau_g": 4, "asis_tau_s": 2},
     )
 
 
