@@ -62,13 +62,37 @@ def make_nested_poisson(
     prior_mu_scale: float = 2.0,
     prior_tau_scale: float = 1.0,
     loglik_impl: str = "auto",
+    tau_prior: str = "halfnormal",
+    tau_ig_shape: float = 2.0,
+    tau_ig_scale: float = 0.25,
 ) -> ModelSpec:
+    """tau_prior: 'halfnormal' (tau ~ HN(prior_tau_scale), per-coordinate
+    MH on log tau) or 'invgamma' (tau^2 ~ InvGamma(shape, scale): the taus
+    become EXACT conjugate Gibbs draws given the level below — the
+    normal-inverse-gamma conjugate update of SURVEY.md section 3.2 — which
+    removes the scale blocks from the mixing budget entirely)."""
     S = data.num_subjects
     G = data.num_groups
     p = data.num_covariates
+    if tau_prior not in ("halfnormal", "invgamma"):
+        raise ValueError(tau_prior)
+    conj_tau = tau_prior == "invgamma"
     lik_fn, chosen = _resolve_loglik(loglik_impl)
     # lgamma(y+1) is constant across the run — precompute once.
     lgamma_y = gammaln(data.y + 1.0)
+
+    def _tau_logprior(lt):
+        """log p(log tau) elementwise, incl. the Jacobian to log space."""
+        if conj_tau:
+            # tau^2 ~ IG(a, b); lt = log tau => tau^2 = e^{2 lt},
+            # |d tau^2 / d lt| = 2 e^{2 lt}
+            a, b = tau_ig_shape, tau_ig_scale
+            return (
+                a * jnp.log(b) - gammaln(a)
+                - 2.0 * (a + 1.0) * lt - b * jnp.exp(-2.0 * lt)
+                + jnp.log(2.0) + 2.0 * lt
+            )
+        return logpdf_halfnormal(jnp.exp(lt), prior_tau_scale) + lt
 
     def _sprior(state):
         # beta_s | beta_g: (C, S)
@@ -82,20 +106,10 @@ def make_nested_poisson(
         return jnp.sum(logpdf_normal(state["beta_g"], mu, tau_g), axis=-1)
 
     def _pprior(state):
-        tau_s = jnp.exp(state["log_tau_s"])
-        tau_g = jnp.exp(state["log_tau_g"])
         return (
             jnp.sum(logpdf_normal(state["mu"], 0.0, prior_mu_scale), axis=-1)
-            + jnp.sum(
-                logpdf_halfnormal(tau_s, prior_tau_scale)
-                + state["log_tau_s"],
-                axis=-1,
-            )
-            + jnp.sum(
-                logpdf_halfnormal(tau_g, prior_tau_scale)
-                + state["log_tau_g"],
-                axis=-1,
-            )
+            + jnp.sum(_tau_logprior(state["log_tau_s"]), axis=-1)
+            + jnp.sum(_tau_logprior(state["log_tau_g"]), axis=-1)
         )
 
     _LOG_2PI = 1.8378770664093453
@@ -133,17 +147,13 @@ def make_nested_poisson(
             )  # (C, p) per-coordinate
             if name == "mu":
                 return base + logpdf_normal(mu, 0.0, prior_mu_scale)
-            tau = jnp.exp(lt)
-            return (base + logpdf_halfnormal(tau, prior_tau_scale) + lt
-                    + log_scale_guard(lt))
+            return base + _tau_logprior(lt) + log_scale_guard(lt)
         if name == "log_tau_s":
             d2 = _dev2_s(state)
             lt = state["log_tau_s"]
-            tau = jnp.exp(lt)
             return (
                 -0.5 * d2 * jnp.exp(-2.0 * lt) - S * lt - 0.5 * S * _LOG_2PI
-                + logpdf_halfnormal(tau, prior_tau_scale) + lt
-                + log_scale_guard(lt)
+                + _tau_logprior(lt) + log_scale_guard(lt)
             )
         raise KeyError(name)
 
@@ -181,6 +191,25 @@ def make_nested_poisson(
         mean = s1 * inv_tau2 / prec
         eps = jax.random.normal(key, mean.shape, mean.dtype)
         return mean + eps / jnp.sqrt(prec)
+
+    def _gibbs_tau(key, quad, n_units):
+        """Exact conjugate draw of log tau given the quadratic suff stat:
+        tau^2 | . ~ InvGamma(a + n/2, b + quad/2), per (chain, coordinate);
+        sampled as b' / Gamma(a') and clipped to the log-scale guard bounds."""
+        a = tau_ig_shape + 0.5 * n_units
+        b = tau_ig_scale + 0.5 * quad
+        g = jax.random.gamma(key, a, shape=quad.shape, dtype=quad.dtype)
+        lt = 0.5 * (jnp.log(b) - jnp.log(g))
+        return jnp.clip(lt, -12.0, 12.0)
+
+    def gibbs_log_tau_g(key, state, data):
+        s1, s2 = _suff_g(state)
+        mu = state["mu"]
+        quad = s2 - 2.0 * mu * s1 + G * mu * mu
+        return _gibbs_tau(key, quad, G)
+
+    def gibbs_log_tau_s(key, state, data):
+        return _gibbs_tau(key, _dev2_s(state), S)
 
     # (G,) subjects per group, computed ONCE at construction (computing it
     # inside the jitted draw would leak a tracer through the closure cache)
@@ -223,11 +252,9 @@ def make_nested_poisson(
         sp_new = jnp.sum(
             _sprior({**position, "beta_g": bg_new}), axis=-1
         )
-        tau, tau_new = jnp.exp(lt), jnp.exp(lt_new)
         prior_delta = jnp.sum(
-            logpdf_halfnormal(tau_new, prior_tau_scale) + lt_new
-            + log_scale_guard(lt_new)
-            - logpdf_halfnormal(tau, prior_tau_scale) - lt, axis=-1,
+            _tau_logprior(lt_new) + log_scale_guard(lt_new)
+            - _tau_logprior(lt), axis=-1,
         )
         log_alpha = sp_new - sp_old + prior_delta
         logu = jnp.log(jax.random.uniform(
@@ -265,11 +292,9 @@ def make_nested_poisson(
             lik_old = lik_cache
             if lik_old is None:
                 lik_old = lik_fn(bs, data, lgamma_y)
-        tau, tau_new = jnp.exp(lt), jnp.exp(lt_new)
         prior_delta = jnp.sum(
-            logpdf_halfnormal(tau_new, prior_tau_scale) + lt_new
-            + log_scale_guard(lt_new)
-            - logpdf_halfnormal(tau, prior_tau_scale) - lt, axis=-1,
+            _tau_logprior(lt_new) + log_scale_guard(lt_new)
+            - _tau_logprior(lt), axis=-1,
         )
         log_alpha = (
             jnp.sum(lik_new - lik_old, axis=-1) + prior_delta
@@ -369,7 +394,17 @@ def make_nested_poisson(
         cond_cached_grad={
             "beta_s": (lik_value_and_grad, sprior_value_and_grad),
         },
-        gibbs_draws={"mu": gibbs_mu, "beta_g": gibbs_beta_g},
+        gibbs_draws={
+            "mu": gibbs_mu,
+            "beta_g": gibbs_beta_g,
+            **(
+                {
+                    "log_tau_g": gibbs_log_tau_g,
+                    "log_tau_s": gibbs_log_tau_s,
+                }
+                if conj_tau else {}
+            ),
+        },
         joint_moves={
             "asis_tau_g": asis_tau_g_move,
             "asis_tau_s": asis_tau_s_move,

@@ -50,6 +50,31 @@ def test_conjugate_beta_g_matches_mh(setup):
         assert np.all(np.abs(ma - mb) < tol), (k, ma, mb, tol)
 
 
+def test_conjugate_tau_matches_mh_tau(setup):
+    """Under the inverse-gamma prior, exact conjugate tau draws must target
+    the same posterior as per-coordinate MH on log tau."""
+    data, _, _ = setup
+    conj = make_nested_poisson(
+        data, loglik_impl="jnp", tau_prior="invgamma"
+    )
+    assert "log_tau_g" in conj.gibbs_draws
+    mh = dataclasses.replace(
+        conj,
+        gibbs_draws={
+            k: v for k, v in conj.gibbs_draws.items()
+            if not k.startswith("log_tau")
+        },
+    )
+    a = _run(conj, data)
+    b = _run(mh, data)
+    for k in ("mu", "log_tau_g", "log_tau_s"):
+        ma, mb = np.asarray(a.mean(k)), np.asarray(b.mean(k))
+        sa = np.asarray(a.diagnostics()[k]["mcse_mean"])
+        sb = np.asarray(b.diagnostics()[k]["mcse_mean"])
+        tol = 6 * np.sqrt(sa**2 + sb**2) + 0.03
+        assert np.all(np.abs(ma - mb) < tol), (k, ma, mb, tol)
+
+
 def test_posterior_recovery(setup):
     data, truth, model = setup
     post = _run(model, data)
