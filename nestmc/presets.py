@@ -96,7 +96,7 @@ def _nested_poisson_1k(seed: int, scale: float):
         run=RunConfig(
             chains=512 if scale >= 1.0 else 32,
             warmup=max(50, int(1000 * scale)),
-            draws=max(50, int(1024 * scale)),
+            draws=max(50, int(2048 * scale)),
             seed=seed,
             segment_size=1024,
             collect={
