@@ -118,11 +118,15 @@ def _ragged_10k(seed: int, scale: float):
     model = make_hier_logistic(data)
     n_dev = len(jax.devices())
     cfg = SamplerConfig(
+        # MALA works on segment data too (grad via one vjp of the
+        # segment-sum likelihood)
+        kernel=KernelConfig(algorithm="mala"),
         run=RunConfig(
             chains=1024 if scale >= 1.0 else 8 * max(n_dev, 1),
-            warmup=max(50, int(300 * scale)),
-            draws=max(50, int(256 * scale)),
+            warmup=max(50, int(600 * scale)),
+            draws=max(50, int(1024 * scale)),
             seed=seed,
+            segment_size=512,
             collect={"mu": None, "log_tau": None, "beta": 8},
         ),
         sharding=ShardingConfig(chain_shards=max(n_dev, 1)),
