@@ -43,9 +43,9 @@ def main() -> int:
 
     # The judged model: 1k groups x 50 obs, p=4.
     data, _ = synth_logistic(jax.random.key(2000), G=1000, n=50, p=4)
-    chains_per_chip = int(os.environ.get("NESTMC_BENCH_CHAINS_PER_CHIP", 256))
-    warmup = int(os.environ.get("NESTMC_BENCH_WARMUP", 2500))
-    draws = int(os.environ.get("NESTMC_BENCH_DRAWS", 6144))
+    chains_per_chip = int(os.environ.get("NESTMC_BENCH_CHAINS_PER_CHIP", 512))
+    warmup = int(os.environ.get("NESTMC_BENCH_WARMUP", 1500))
+    draws = int(os.environ.get("NESTMC_BENCH_DRAWS", 4096))
     # MALA with the fused Pallas logp+grad kernel and the carried grad
     # cache: measured 6.3x the ESS/s of adapted RW-MH on this model
     # (larger moves at the 0.574 target; one fused likelihood+gradient
