@@ -60,6 +60,10 @@ def main() -> int:
             seed=0,
             segment_size=2048,
             collect={"mu": None, "log_tau": None, "beta": 8},
+            # stream split R-hat over EVERY unit of every block (all 1000
+            # groups' betas, not just the 8 collected) so the <1.01 gate
+            # below covers all parameters (SURVEY.md section 3.5)
+            full_rhat=True,
             log_every_segment=False,
         ),
         sharding=ShardingConfig(chain_shards=n_dev),
@@ -72,27 +76,42 @@ def main() -> int:
 
     sample_s = post.timings["sample_s"]
     total_ess = post.total_ess()
+    min_ess = post.min_ess()
+    # worst split R-hat over ALL parameters (streamed full_rhat covers every
+    # beta unit; the diagnostics pass covers the collected scalars)
     worst_rhat = post.worst_rhat()
     value = total_ess / sample_s / n_dev
+    min_ess_rate = min_ess / sample_s / n_dev
 
     print(
         f"[bench] backend={backend} devices={n_dev} "
         f"chains={cfg.run.chains} wall={wall:.1f}s "
         f"sample={sample_s:.2f}s warmup={post.timings['warmup_s']:.2f}s "
         f"compile={post.timings.get('warmup_compile_s', 0) + post.timings.get('sample_compile_s', 0):.1f}s "
-        f"total_ess={total_ess:.0f} min_ess={post.min_ess():.0f} "
+        f"total_ess={total_ess:.0f} min_ess={min_ess:.0f} "
         f"worst_rhat={worst_rhat:.4f} "
         f"sweeps/s={(warmup + draws) / (post.timings['warmup_s'] + sample_s):.0f}",
         file=sys.stderr,
     )
 
+    # Convergence gate (SURVEY.md section 3.5 / BASELINE.json:5): the
+    # throughput number is meaningless if the chains have not converged.
+    assert worst_rhat < 1.01, (
+        f"worst split R-hat {worst_rhat:.4f} >= 1.01 over all parameters — "
+        "benchmark rejected"
+    )
+
     print(json.dumps({
         "metric": "effective_samples_per_sec_per_chip "
-                  "(1k-group hierarchical logistic; worst split R-hat "
-                  f"{worst_rhat:.4f})",
+                  "(1k-group hierarchical logistic; worst split R-hat over "
+                  f"ALL {4 + 4 + 1000 * 4} params {worst_rhat:.4f}; "
+                  "sum-of-bulk-ESS over 40 collected scalars convention; "
+                  f"min-ESS convention: {min_ess_rate:.0f}/s/chip)",
         "value": round(value, 1),
         "unit": "ESS/s/chip",
         "vs_baseline": round(value / 125_000.0, 4),
+        "min_ess_per_sec_per_chip": round(min_ess_rate, 1),
+        "worst_rhat_all_params": round(worst_rhat, 5),
     }))
     return 0
 

@@ -66,6 +66,12 @@ class RunConfig:
     checkpoint_dir: str | None = None
     checkpoint_every: int = 0  # segments between checkpoints; 0 = off
     log_every_segment: bool = True
+    full_rhat: bool = False
+    # full_rhat: stream classic split R-hat over EVERY sampled block (all
+    # units, not just collected ones) via per-(chain, half) Welford moments
+    # in the sampling scan — O(params) memory, ~a few % sweep overhead.
+    # Lets bench assert `all split R-hat < 1.01` without retaining huge
+    # blocks (SURVEY.md section 3.5).
     log_rhat: bool = False  # also log worst split R-hat of draws so far
     # (classic split R-hat on the cumulative collected draws; one extra
     # on-device reduction per segment, no extra host traffic beyond the

@@ -48,14 +48,30 @@ def split_rhat(draws):
 def _rank_normalize(x):
     """Fractional-rank -> standard-normal transform over pooled draws.
 
-    x: (C, D, ...); ranks pooled over (C*D) per trailing index.
+    x: (C, D, ...); ranks pooled over (C*D) per trailing index. Ties get
+    the AVERAGE rank (scipy.stats.rankdata(method='average') convention,
+    as in Vehtari et al. 2021 / posterior / arviz) — positional tie-breaking
+    would turn low-cardinality chains into artificial position-monotone
+    sequences with near-perfect autocorrelation.
     """
     shape = x.shape
-    flat = x.reshape((shape[0] * shape[1],) + shape[2:])
-    n = flat.shape[0]
-    order = jnp.argsort(flat, axis=0)
-    ranks = jnp.argsort(order, axis=0).astype(flat.dtype)
-    z = ndtri((ranks + 1.0 - 0.375) / (n + 0.25))
+    n = shape[0] * shape[1]
+    flat = x.reshape((n, -1))                       # (n, P)
+    order = jnp.argsort(flat, axis=0)               # stable sort
+    s = jnp.take_along_axis(flat, order, axis=0)
+    # average rank within each run of equal sorted values: propagate the
+    # run's first index forward (cummax) and last index backward (cummin)
+    i = jnp.arange(n, dtype=jnp.int32)[:, None]
+    neq = s[1:] != s[:-1]
+    ones = jnp.ones((1, flat.shape[1]), bool)
+    is_first = jnp.concatenate([ones, neq], axis=0)
+    is_last = jnp.concatenate([neq, ones], axis=0)
+    start = jax.lax.cummax(jnp.where(is_first, i, -1), axis=0)
+    end = jax.lax.cummin(jnp.where(is_last, i, n), axis=0, reverse=True)
+    avg_sorted = 0.5 * (start + end).astype(x.dtype) + 1.0  # 1-based
+    inv = jnp.argsort(order, axis=0)
+    ranks = jnp.take_along_axis(avg_sorted, inv, axis=0)
+    z = ndtri((ranks - 0.375) / (n + 0.25))
     return z.reshape(shape)
 
 
@@ -122,14 +138,86 @@ def ess_bulk(draws):
 
 
 def ess_tail(draws, prob: float = 0.05):
-    """min ESS of the two tail-quantile indicator chains."""
+    """min ESS of the two tail-quantile indicator chains.
+
+    Reference convention (Vehtari et al. 2021 / posterior / arviz): the ESS
+    of the RAW 0/1 indicator chains, not rank-normalized — rank-normalizing
+    a binary variable is at best an affine no-op and with positional tie
+    handling it catastrophically underestimates (~1500x on iid draws).
+    """
     x = jnp.asarray(draws)
     pooled = x.reshape((-1,) + x.shape[2:])
     qlo = jnp.quantile(pooled, prob, axis=0)
     qhi = jnp.quantile(pooled, 1.0 - prob, axis=0)
-    e_lo = ess(_rank_normalize((x <= qlo).astype(x.dtype)))
-    e_hi = ess(_rank_normalize((x <= qhi).astype(x.dtype)))
+    e_lo = ess((x <= qlo).astype(x.dtype))
+    e_hi = ess((x <= qhi).astype(x.dtype))
     return jnp.minimum(e_lo, e_hi)
+
+
+# ---- streaming split R-hat over the FULL parameter pytree ----------------
+#
+# The bench convention (SURVEY.md section 3.5) demands `all split R-hat <
+# 1.01`, including blocks too large to retain (e.g. 1000 groups x p betas at
+# 512 chains x 4096 draws). These accumulators compute the classic split
+# R-hat one draw at a time inside the sampling scan via per-(chain, half)
+# Welford moments — O(params) memory instead of O(params * draws).
+
+def streaming_rhat_init(position: dict) -> dict:
+    """Zero Welford accumulators for every leaf of a position pytree.
+
+    Returns {name: (count (2,), mean (C, 2, ...), m2 (C, 2, ...))}.
+    """
+    out = {}
+    for name, x in position.items():
+        shape = (x.shape[0], 2) + x.shape[1:]
+        out[name] = (
+            jnp.zeros((2,), jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+        )
+    return out
+
+
+def streaming_rhat_update(acc: dict, position: dict, idx, half_len: int):
+    """Fold retained draw `idx` (0-based, over all retained draws) in.
+
+    Draws [0, half_len) go to half 0, [half_len, 2*half_len) to half 1, and
+    the odd leftover draw (idx == 2*half_len) is ignored — matching
+    :func:`split_rhat`'s convention exactly.
+    """
+    h = jnp.where(idx < half_len, 0, 1)
+    active = idx < 2 * half_len
+    onehot1d = jnp.where(
+        (jnp.arange(2) == h) & active, 1.0, 0.0
+    ).astype(jnp.float32)
+    out = {}
+    for name, (count, mean, m2) in acc.items():
+        x = position[name].astype(jnp.float32)[:, None]
+        onehot = onehot1d.reshape((1, 2) + (1,) * (mean.ndim - 2))
+        new_count = count + onehot1d
+        cnt = new_count.reshape((1, 2) + (1,) * (mean.ndim - 2))
+        delta = x - mean
+        new_mean = mean + onehot * delta / jnp.maximum(cnt, 1.0)
+        new_m2 = m2 + onehot * delta * (x - new_mean)
+        out[name] = (new_count, new_mean, new_m2)
+    return out
+
+
+def streaming_rhat_finalize(acc: dict) -> dict:
+    """{name: split R-hat array over the block's trailing dims}."""
+    out = {}
+    for name, (count, mean, m2) in acc.items():
+        n = jnp.maximum(count[0], 2.0)  # draws per half-sequence
+        C = mean.shape[0]
+        seq_mean = mean.reshape((2 * C,) + mean.shape[2:])
+        seq_var = (m2 / jnp.maximum(
+            count.reshape((1, 2) + (1,) * (mean.ndim - 2)) - 1.0, 1.0
+        )).reshape((2 * C,) + mean.shape[2:])
+        w = jnp.mean(seq_var, axis=0)
+        b = n * jnp.var(seq_mean, axis=0, ddof=1)
+        var_plus = (n - 1.0) / n * w + b / n
+        out[name] = jnp.sqrt(var_plus / jnp.where(w > 0, w, 1.0))
+    return out
 
 
 def mcse_mean(draws):

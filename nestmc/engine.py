@@ -80,25 +80,55 @@ def build_step_fns(model: ModelSpec, cfg: SamplerConfig):
 
         return jax.lax.scan(body, carry, None, length=length)[0]
 
-    @partial(jax.jit, static_argnames=("length",), donate_argnums=donate)
-    def sample_segment(carry: KernelState, data, length: int):
-        def one_draw(c, _):
-            if thin == 1:
-                c = sweep(c, data, adapt=False)
-            else:
-                c = jax.lax.fori_loop(
-                    0, thin, lambda _, s: sweep(s, data, adapt=False), c
-                )
-            return c, collect(c.position)
+    def advance(c, data):
+        if thin == 1:
+            return sweep(c, data, adapt=False)
+        return jax.lax.fori_loop(
+            0, thin, lambda _, s: sweep(s, data, adapt=False), c
+        )
 
-        carry, draws = jax.lax.scan(one_draw, carry, None, length=length)
-        # (draws, chains, ...) -> (chains, draws, ...)
+    if not cfg.run.full_rhat:
+        @partial(jax.jit, static_argnames=("length",), donate_argnums=donate)
+        def sample_segment(carry: KernelState, data, length: int):
+            def one_draw(c, _):
+                c = advance(c, data)
+                return c, collect(c.position)
+
+            carry, draws = jax.lax.scan(one_draw, carry, None, length=length)
+            # (draws, chains, ...) -> (chains, draws, ...)
+            draws = jax.tree_util.tree_map(
+                lambda a: jnp.swapaxes(a, 0, 1), draws
+            )
+            return carry, draws
+
+        return warmup_segment, sample_segment
+
+    # full_rhat variant: thread streaming split-R-hat Welford accumulators
+    # (over the FULL position pytree) through the scan alongside the carry.
+    from nestmc.diagnostics import streaming_rhat_update
+
+    half_len = cfg.run.draws // 2
+    donate_full = (0, 1) if cfg.sharding.donate_carry else ()
+
+    @partial(jax.jit, static_argnames=("length",),
+             donate_argnums=donate_full)
+    def sample_segment_rhat(carry: KernelState, acc, data, offset,
+                            length: int):
+        def one_draw(ca, i):
+            c, a = ca
+            c = advance(c, data)
+            a = streaming_rhat_update(a, c.position, offset + i, half_len)
+            return (c, a), collect(c.position)
+
+        (carry, acc), draws = jax.lax.scan(
+            one_draw, (carry, acc), jnp.arange(length)
+        )
         draws = jax.tree_util.tree_map(
             lambda a: jnp.swapaxes(a, 0, 1), draws
         )
-        return carry, draws
+        return carry, acc, draws
 
-    return warmup_segment, sample_segment
+    return warmup_segment, sample_segment_rhat
 
 
 def _accept_rates(state: KernelState, sweeps: int):
@@ -189,13 +219,43 @@ def sample(
     timings["warmup_s"] = time.perf_counter() - t_w
 
     # ---- sampling (adaptation frozen) ----
+    if init_state is not None and skip_warmup:
+        # a resumed sample-phase carry holds pre-crash accept accumulation
+        # whose sweep-count denominator is lost; restart the bookkeeping so
+        # reported rates stay in [0, 1].
+        state = _reset_accept(state)
+    acc = None
+    if rc.full_rhat and rc.draws > 0:
+        from nestmc.diagnostics import streaming_rhat_init
+
+        # build inside jit from the sharded position so the accumulators
+        # inherit the chain-axis sharding
+        acc = jax.jit(streaming_rhat_init)(state.position)
+
+    def _run_segment(state, acc, L, offset):
+        if acc is None:
+            state, seg_draws = sample_segment(state, data, length=L)
+            return state, acc, seg_draws
+        state, acc, seg_draws = sample_segment(
+            state, acc, data, jnp.int32(offset), length=L
+        )
+        return state, acc, seg_draws
+
     t_c = time.perf_counter()
     if rc.draws > 0:
-        _ = with_transient_retry(
-            lambda: sample_segment.lower(
-                state, data, length=min(rc.segment_size, rc.draws)
-            ).compile()
-        )
+        seg0 = min(rc.segment_size, rc.draws)
+        if acc is None:
+            _ = with_transient_retry(
+                lambda: sample_segment.lower(
+                    state, data, length=seg0
+                ).compile()
+            )
+        else:
+            _ = with_transient_retry(
+                lambda: sample_segment.lower(
+                    state, acc, data, jnp.int32(0), length=seg0
+                ).compile()
+            )
     timings["sample_compile_s"] = time.perf_counter() - t_c
 
     segments = []
@@ -203,7 +263,7 @@ def sample(
     drawn = 0
     for i, L in enumerate(_segment_lengths(rc.draws, rc.segment_size)):
         with jax.profiler.TraceAnnotation(f"nestmc.sample.seg{i}"):
-            state, seg_draws = sample_segment(state, data, length=L)
+            state, acc, seg_draws = _run_segment(state, acc, L, drawn)
         segments.append(seg_draws)
         drawn += L
         int(state.t)  # hard sync via host read (see warmup note)
@@ -235,6 +295,12 @@ def sample(
         draws = {}
     timings["sample_s"] = time.perf_counter() - t_s
 
+    full_rhat_map = None
+    if acc is not None:
+        from nestmc.diagnostics import streaming_rhat_finalize
+
+        full_rhat_map = jax.jit(streaming_rhat_finalize)(acc)
+
     total_sample_sweeps = rc.draws * max(1, rc.thin)
     post = Posterior(
         draws=draws,
@@ -242,6 +308,7 @@ def sample(
         warmup_accept_rates=warm_rates,
         config=cfg.to_dict(),
         timings=timings,
+        full_rhat=full_rhat_map,
     )
     post.final_state = state  # expose the carry for resume/inspection
     return post

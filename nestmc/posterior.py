@@ -33,6 +33,10 @@ class Posterior:
     warmup_accept_rates: dict
     config: dict
     timings: dict = field(default_factory=dict)
+    full_rhat: dict | None = None
+    # full_rhat: {block: classic split R-hat over EVERY unit} streamed by
+    # the engine when RunConfig.full_rhat is set — covers blocks whose
+    # draws were not retained.
     _diag_cache: dict | None = None
 
     def diagnostics(self) -> dict:
@@ -45,12 +49,13 @@ class Posterior:
         return self._diag_cache
 
     def worst_rhat(self) -> float:
+        """Max R-hat over collected params AND (if streamed) every sampled
+        unit of every block via the engine's full_rhat accumulators."""
         d = self.diagnostics()
-        return float(
-            jnp.max(
-                jnp.stack([jnp.max(v["rhat"]) for v in d.values()])
-            )
-        )
+        vals = [jnp.max(v["rhat"]) for v in d.values()]
+        if self.full_rhat is not None:
+            vals += [jnp.max(v) for v in self.full_rhat.values()]
+        return float(jnp.max(jnp.stack(vals)))
 
     def total_ess(self, kind: str = "ess_bulk") -> float:
         """Sum of ESS over every collected scalar parameter."""

@@ -7,6 +7,35 @@ from Vehtari et al. (2021).
 """
 
 import numpy as np
+import scipy.stats
+
+
+def np_rank_normalize(x):
+    """Average-rank (scipy rankdata) -> normal quantile, pooled per param.
+
+    Independent of the jnp implementation: scipy.stats.rankdata handles the
+    tie convention, scipy.stats.norm.ppf the normal transform.
+    """
+    x = np.asarray(x, np.float64)
+    shape = x.shape
+    n = shape[0] * shape[1]
+    flat = x.reshape((n, -1))
+    ranks = np.stack(
+        [scipy.stats.rankdata(flat[:, j], method="average")
+         for j in range(flat.shape[1])], axis=1
+    )
+    z = scipy.stats.norm.ppf((ranks - 0.375) / (n + 0.25))
+    return z.reshape(shape)
+
+
+def np_ess_tail(x, prob=0.05):
+    """Reference tail-ESS: min ESS of the raw 0/1 tail-indicator chains."""
+    x = np.asarray(x, np.float64)
+    pooled = x.reshape((-1,) + x.shape[2:])
+    qlo = np.quantile(pooled, prob, axis=0)
+    qhi = np.quantile(pooled, 1.0 - prob, axis=0)
+    return np.minimum(np_ess((x <= qlo).astype(np.float64)),
+                      np_ess((x <= qhi).astype(np.float64)))
 
 
 def np_split_chains(x):

@@ -70,6 +70,49 @@ def test_ess_ar1_analytic():
     assert 0.7 * expected < got < 1.4 * expected
 
 
+def test_ess_tail_iid_near_total():
+    # Regression for the round-1 advisor finding: positional tie-breaking in
+    # rank normalization turned the 0/1 tail indicator into a near-perfectly
+    # autocorrelated sequence (ess_tail 5.3 on this input instead of ~7886).
+    x = RNG.normal(size=(4, 2000)).astype(np.float32)
+    et = float(ess_tail(x))
+    assert et > 0.5 * 4 * 2000, et
+
+
+def test_ess_tail_matches_numpy_golden():
+    from tests.reference_diagnostics import np_ess_tail
+
+    x = ar1(0.6, C=4, D=800)
+    ours = float(ess_tail(x))
+    golden = float(np_ess_tail(x))
+    np.testing.assert_allclose(ours, golden, rtol=0.02)
+
+
+def test_rank_normalize_matches_scipy():
+    from nestmc.diagnostics import _rank_normalize
+    from tests.reference_diagnostics import np_rank_normalize
+
+    # continuous draws and a heavily tied integer-valued array
+    for x in (
+        RNG.normal(size=(4, 300, 3)).astype(np.float32),
+        RNG.integers(0, 4, size=(4, 300, 3)).astype(np.float32),
+    ):
+        ours = np.asarray(_rank_normalize(jnp.asarray(x)))
+        golden = np_rank_normalize(x)
+        np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-5)
+
+
+def test_rank_normalize_binary_is_affine():
+    # With average-rank ties, rank-normalizing a binary chain maps it to
+    # exactly two values, so its ESS equals the raw indicator's ESS.
+    from nestmc.diagnostics import _rank_normalize, ess
+
+    x = (RNG.normal(size=(4, 1000)) < -1.6).astype(np.float32)
+    z = np.asarray(_rank_normalize(jnp.asarray(x)))
+    assert len(np.unique(z)) == 2
+    np.testing.assert_allclose(float(ess(z)), float(ess(x)), rtol=1e-3)
+
+
 def test_ess_tail_and_mcse_finite():
     x = ar1(0.5, C=4, D=1000)
     et = float(ess_tail(x))

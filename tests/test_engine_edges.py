@@ -74,6 +74,45 @@ def test_warmup_rates_separate_from_sampling(es):
         assert np.all(s >= 0) and np.all(s <= 1.0 + 1e-6)
 
 
+def test_full_rhat_matches_split_rhat_of_retained_draws(es):
+    """Streamed Welford split R-hat == split_rhat of the full draw arrays,
+    for every sampled block, including across multiple uneven segments and
+    an odd draw count (the leftover draw is dropped by both conventions)."""
+    from nestmc.diagnostics import split_rhat
+
+    model, data = es
+    cfg = SamplerConfig(run=RunConfig(
+        chains=4, warmup=30, draws=31, segment_size=7, seed=5,
+        log_every_segment=False, full_rhat=True,
+    ))
+    post = sample(model, data, cfg)
+    assert post.full_rhat is not None
+    assert set(post.full_rhat) == {"z", "mu", "log_tau"}
+    for name, streamed in post.full_rhat.items():
+        direct = split_rhat(post.draws[name])
+        np.testing.assert_allclose(
+            np.asarray(streamed), np.asarray(direct), rtol=2e-4, atol=2e-4
+        )
+    # worst_rhat() must cover the streamed blocks
+    worst_direct = max(
+        float(np.max(np.asarray(split_rhat(post.draws[n]))))
+        for n in post.full_rhat
+    )
+    assert post.worst_rhat() >= worst_direct - 1e-4
+
+
+def test_full_rhat_uncollected_block(es):
+    """full_rhat covers blocks excluded from collection entirely."""
+    model, data = es
+    cfg = SamplerConfig(run=RunConfig(
+        chains=4, warmup=20, draws=24, seed=1, log_every_segment=False,
+        full_rhat=True, collect={"mu": None},
+    ))
+    post = sample(model, data, cfg)
+    assert "z" in post.full_rhat and "z" not in post.draws
+    assert np.all(np.isfinite(np.asarray(post.full_rhat["z"])))
+
+
 def test_log_rhat_flag_runs(es, caplog):
     model, data = es
     cfg = SamplerConfig(run=RunConfig(
