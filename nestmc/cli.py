@@ -133,6 +133,22 @@ def cmd_run(args) -> int:
         skip_warmup = meta.get("phase") == "sample"
         print(f"resuming from {tag} (phase={meta.get('phase')})",
               file=sys.stderr)
+        if skip_warmup:
+            # Only the carry is checkpointed — draws collected before the
+            # crash are not retained — but the total draw budget must not
+            # silently grow: run only the remainder of cfg.run.draws.
+            done = int(meta.get("draws_done", 0))
+            if done:
+                remaining = max(cfg.run.draws - done, 0)
+                print(
+                    f"resume: checkpoint holds {done} sampled draws; "
+                    f"running the remaining {remaining} of "
+                    f"{cfg.run.draws} (pre-crash draws are not retained)",
+                    file=sys.stderr,
+                )
+                cfg = dataclasses.replace(
+                    cfg, run=dataclasses.replace(cfg.run, draws=remaining)
+                )
 
     profile_ctx = None
     if args.profile:

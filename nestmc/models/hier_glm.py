@@ -45,36 +45,46 @@ def make_hier_glm(
     G = data.num_groups
     p = data.num_covariates
     gaussian = family == "gaussian"
-    if family == "binomial":
-        trials = data.extra["trials"]  # (G, n)
-        log_binom = (
-            gammaln(trials + 1.0) - gammaln(data.y + 1.0)
-            - gammaln(trials - data.y + 1.0)
-        ) * data.mask
-    elif family == "bernoulli":
-        trials = jnp.ones_like(data.y)
-        log_binom = jnp.zeros_like(data.y)
-    elif not gaussian:
+    if family not in ("gaussian", "binomial", "bernoulli"):
         raise ValueError(f"unknown family {family!r}")
+    if family == "binomial" and "trials" not in data.extra:
+        raise ValueError("binomial family needs data.extra['trials']")
 
-    def _eta(beta):
+    def _trials_binom(d):
+        """(trials, log binomial coefficient) from the TRACED data — not
+        baked in as closure constants, so group-axis data sharding flows
+        through the jit boundary (the O(G n) tables are loop-invariant and
+        hoisted out of the scan body by XLA)."""
+        if family == "binomial":
+            trials = d.extra["trials"]  # (G, n)
+            log_binom = (
+                gammaln(trials + 1.0) - gammaln(d.y + 1.0)
+                - gammaln(trials - d.y + 1.0)
+            ) * d.mask
+        else:  # bernoulli
+            trials = jnp.ones_like(d.y)
+            log_binom = jnp.zeros_like(d.y)
+        return trials, log_binom
+
+    def _eta(beta, d):
         return jnp.einsum(
-            "cgp,gnp->cgn", beta, data.x,
+            "cgp,gnp->cgn", beta, d.x,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    def _lik(state):
-        eta = _eta(state["beta"])          # (C, G, n)
+    def _lik(state, d):
+        eta = _eta(state["beta"], d)       # (C, G, n)
         if gaussian:
             sigma = jnp.exp(state["log_sigma"])[:, None, None]
-            z = (data.y - eta) / sigma
+            z = (d.y - eta) / sigma
             ll = -0.5 * (z * z + _LOG_2PI) - jnp.log(sigma)
         else:
+            trials, log_binom = _trials_binom(d)
             ll = (
-                data.y * eta - trials * jax.nn.softplus(eta) + log_binom
+                d.y * eta - trials * jax.nn.softplus(eta) + log_binom
             )
-        return jnp.sum(ll * data.mask, axis=-1)  # (C, G)
+        return jnp.sum(ll * d.mask, axis=-1)  # (C, G)
 
     def _gprior(state):
         mu = state["mu"][:, None, :]
@@ -94,13 +104,13 @@ def make_hier_glm(
     def cond(name, value, state, data_):
         state = {**state, name: value}
         if name == "beta":
-            return _lik(state) + _gprior(state)
+            return _lik(state, data_) + _gprior(state)
         if name == "log_sigma":
             prior = (
                 logpdf_halfnormal(jnp.exp(value), prior_sigma_scale) + value
                 + log_scale_guard(value)
             )
-            return jnp.sum(_lik(state), axis=-1) + prior
+            return jnp.sum(_lik(state, data_), axis=-1) + prior
         s1, s2 = _suff(state["beta"])
         if name == "mu":
             return _gprior_perk(
@@ -118,7 +128,7 @@ def make_hier_glm(
 
     def joint(state, data_):
         out = (
-            jnp.sum(_lik(state), axis=-1)
+            jnp.sum(_lik(state, data_), axis=-1)
             + jnp.sum(_gprior(state), axis=-1)
             + jnp.sum(
                 logpdf_normal(state["mu"], 0.0, prior_mu_scale), axis=-1
@@ -161,8 +171,10 @@ def make_hier_glm(
         lt_new = lt + scale * jax.random.normal(k1, lt.shape, lt.dtype)
         ratio = jnp.exp(lt_new - lt)[:, None, :]
         beta_new = mu[:, None, :] + (beta - mu[:, None, :]) * ratio
-        lik_old = jnp.sum(_lik(position), axis=-1)
-        lik_new = jnp.sum(_lik({**position, "beta": beta_new}), axis=-1)
+        lik_old = jnp.sum(_lik(position, data_), axis=-1)
+        lik_new = jnp.sum(
+            _lik({**position, "beta": beta_new}, data_), axis=-1
+        )
         tau, tau_new = jnp.exp(lt), jnp.exp(lt_new)
         prior_delta = jnp.sum(
             logpdf_halfnormal(tau_new, prior_tau_scale) + lt_new

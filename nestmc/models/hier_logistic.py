@@ -64,12 +64,40 @@ def make_hier_logistic(
     prior_mu_scale: float = 5.0,
     prior_tau_scale: float = 2.0,
     loglik_impl: str = "auto",
+    tau_prior: str = "halfnormal",
+    tau_ig_shape: float = 2.0,
+    tau_ig_scale: float = 0.5,
 ) -> ModelSpec:
+    """tau_prior: 'halfnormal' (tau ~ HN(prior_tau_scale), per-coordinate
+    MH on log tau) or 'invgamma' (tau^2 ~ InvGamma(shape, scale): log_tau
+    becomes an EXACT conjugate Gibbs draw given beta — the normal-inverse-
+    gamma update, ported from models/nested_poisson.py where it measured
+    7x the tau ESS of half-normal + MH). The ASIS interweaving move stays
+    in both variants: the conjugate draw targets tau | beta exactly but is
+    still pinned to beta's empirical spread; interweaving breaks that
+    coupling."""
     G = data.num_groups
     p = data.num_covariates
+    if tau_prior not in ("halfnormal", "invgamma"):
+        raise ValueError(tau_prior)
+    conj_tau = tau_prior == "invgamma"
     lik_fn, chosen = _resolve_loglik(data, loglik_impl)
 
     _LOG_2PI = 1.8378770664093453
+
+    def _tau_logprior(lt):
+        """log p(log tau) elementwise, incl. the Jacobian to log space."""
+        if conj_tau:
+            from jax.scipy.special import gammaln
+
+            a, b = tau_ig_shape, tau_ig_scale
+            # tau^2 ~ IG(a, b); |d tau^2 / d log tau| = 2 e^{2 lt}
+            return (
+                a * jnp.log(b) - gammaln(a)
+                - 2.0 * (a + 1.0) * lt - b * jnp.exp(-2.0 * lt)
+                + jnp.log(2.0) + 2.0 * lt
+            )
+        return logpdf_halfnormal(jnp.exp(lt), prior_tau_scale) + lt
 
     def _gprior(state):
         beta = state["beta"]                      # (C, G, p)
@@ -108,9 +136,8 @@ def make_hier_logistic(
                 s1, s2, state["mu"], state["log_tau"]
             ) + pprior
         if name == "log_tau":
-            tau = jnp.exp(state["log_tau"])
             pprior = (
-                logpdf_halfnormal(tau, prior_tau_scale) + state["log_tau"]
+                _tau_logprior(state["log_tau"])
                 + log_scale_guard(state["log_tau"])
             )
             return _gprior_perk_from_suff(
@@ -197,11 +224,9 @@ def make_hier_logistic(
             lik_old = lik_cache
             if lik_old is None:
                 lik_old = lik_fn(beta, data)
-        tau, tau_new = jnp.exp(lt), jnp.exp(lt_new)
         prior_delta = jnp.sum(
-            logpdf_halfnormal(tau_new, prior_tau_scale) + lt_new
-            + log_scale_guard(lt_new)
-            - logpdf_halfnormal(tau, prior_tau_scale) - lt,
+            _tau_logprior(lt_new) + log_scale_guard(lt_new)
+            - _tau_logprior(lt),
             axis=-1,
         )
         log_alpha = jnp.sum(lik_new - lik_old, axis=-1) + prior_delta
@@ -240,16 +265,25 @@ def make_hier_logistic(
         eps = jax.random.normal(key, mean.shape, mean.dtype)
         return mean + eps / jnp.sqrt(prec)
 
+    def gibbs_log_tau(key, state, data):
+        """EXACT conjugate draw (invgamma variant): per (chain, coordinate)
+        tau_k^2 | beta, mu ~ InvGamma(a + G/2, b + quad_k/2), sampled as
+        rate / Gamma(shape) and returned as log tau (clipped to the
+        log-scale guard bounds)."""
+        s1, s2 = _suff(state["beta"])
+        mu = state["mu"]
+        quad = s2 - 2.0 * mu * s1 + G * mu * mu
+        a = tau_ig_shape + 0.5 * G
+        b = tau_ig_scale + 0.5 * quad
+        g = jax.random.gamma(key, a, shape=quad.shape, dtype=quad.dtype)
+        return jnp.clip(0.5 * (jnp.log(b) - jnp.log(g)), -12.0, 12.0)
+
     def joint(state, data):
-        tau = jnp.exp(state["log_tau"])
         return (
             jnp.sum(lik_fn(state["beta"], data), axis=-1)
             + jnp.sum(_gprior(state), axis=-1)
             + jnp.sum(logpdf_normal(state["mu"], 0.0, prior_mu_scale), axis=-1)
-            + jnp.sum(
-                logpdf_halfnormal(tau, prior_tau_scale) + state["log_tau"],
-                axis=-1,
-            )
+            + jnp.sum(_tau_logprior(state["log_tau"]), axis=-1)
         )
 
     def init_state(key, data, chains):
@@ -263,7 +297,13 @@ def make_hier_logistic(
     def prior_sample(key, data, chains):
         k1, k2, k3 = jax.random.split(key, 3)
         mu = prior_mu_scale * jax.random.normal(k1, (chains, p))
-        tau = prior_tau_scale * jnp.abs(jax.random.normal(k2, (chains, p)))
+        if conj_tau:
+            g = jax.random.gamma(k2, tau_ig_shape, (chains, p))
+            tau = jnp.sqrt(tau_ig_scale / g)
+        else:
+            tau = prior_tau_scale * jnp.abs(
+                jax.random.normal(k2, (chains, p))
+            )
         beta = mu[:, None, :] + tau[:, None, :] * jax.random.normal(
             k3, (chains, G, p)
         )
@@ -311,7 +351,10 @@ def make_hier_logistic(
                 lambda v, state, data: _gprior({**state, "beta": v}),
             ),
         },
-        gibbs_draws={"mu": gibbs_mu},
+        gibbs_draws={
+            "mu": gibbs_mu,
+            **({"log_tau": gibbs_log_tau} if conj_tau else {}),
+        },
         joint_moves={"asis_tau": asis_tau_move},
         fused_updates=(
             {} if isinstance(data, RaggedData)

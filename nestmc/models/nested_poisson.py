@@ -78,8 +78,13 @@ def make_nested_poisson(
         raise ValueError(tau_prior)
     conj_tau = tau_prior == "invgamma"
     lik_fn, chosen = _resolve_loglik(loglik_impl)
-    # lgamma(y+1) is constant across the run — precompute once.
-    lgamma_y = gammaln(data.y + 1.0)
+
+    def _lik(beta_s, d):
+        # lgamma(y+1) is computed from the TRACED data (not baked in as a
+        # closure constant) so group-axis data sharding flows through the
+        # jit boundary; it is O(S n) vs the O(C S n) likelihood, and XLA
+        # hoists the loop-invariant table out of the scan body.
+        return lik_fn(beta_s, d, gammaln(d.y + 1.0))
 
     def _tau_logprior(lt):
         """log p(log tau) elementwise, incl. the Jacobian to log space."""
@@ -94,9 +99,9 @@ def make_nested_poisson(
             )
         return logpdf_halfnormal(jnp.exp(lt), prior_tau_scale) + lt
 
-    def _sprior(state):
+    def _sprior(state, d):
         # beta_s | beta_g: (C, S)
-        bg = jnp.take(state["beta_g"], data.subject_group, axis=1)  # (C,S,p)
+        bg = jnp.take(state["beta_g"], d.subject_group, axis=1)  # (C,S,p)
         tau_s = jnp.exp(state["log_tau_s"])[:, None, :]
         return jnp.sum(logpdf_normal(state["beta_s"], bg, tau_s), axis=-1)
 
@@ -123,18 +128,20 @@ def make_nested_poisson(
         bg = state["beta_g"]
         return jnp.sum(bg, axis=1), jnp.sum(bg**2, axis=1)
 
-    def _dev2_s(state):
-        bg_s = jnp.take(state["beta_g"], data.subject_group, axis=1)
-        d = state["beta_s"] - bg_s
-        return jnp.sum(d * d, axis=1)  # (C, p)
+    def _dev2_s(state, d):
+        bg_s = jnp.take(state["beta_g"], d.subject_group, axis=1)
+        dev = state["beta_s"] - bg_s
+        return jnp.sum(dev * dev, axis=1)  # (C, p)
 
     def cond(name, value, state, data):
         state = {**state, name: value}
         if name == "beta_s":
-            return lik_fn(state["beta_s"], data, lgamma_y) + _sprior(state)
+            return _lik(state["beta_s"], data) + _sprior(state, data)
         if name == "beta_g":
             return (
-                _segsum_cs_to_cg(_sprior(state), data.subject_group, G)
+                _segsum_cs_to_cg(
+                    _sprior(state, data), data.subject_group, G
+                )
                 + _gprior(state)
             )
         if name in ("mu", "log_tau_g"):
@@ -149,7 +156,7 @@ def make_nested_poisson(
                 return base + logpdf_normal(mu, 0.0, prior_mu_scale)
             return base + _tau_logprior(lt) + log_scale_guard(lt)
         if name == "log_tau_s":
-            d2 = _dev2_s(state)
+            d2 = _dev2_s(state, data)
             lt = state["log_tau_s"]
             return (
                 -0.5 * d2 * jnp.exp(-2.0 * lt) - S * lt - 0.5 * S * _LOG_2PI
@@ -166,14 +173,14 @@ def make_nested_poisson(
             )
 
             return poisson_logp_grad_pallas(
-                value, data.x, data.y, data.mask, lgamma_y
+                value, data_.x, data_.y, data_.mask, gammaln(data_.y + 1.0)
             )
-        out, vjp = jax.vjp(lambda b: lik_fn(b, data, lgamma_y), value)
+        out, vjp = jax.vjp(lambda b: _lik(b, data_), value)
         (g,) = vjp(jnp.ones_like(out))
         return out, g
 
     def sprior_value_and_grad(value, state, data_):
-        bg_s = jnp.take(state["beta_g"], data.subject_group, axis=1)
+        bg_s = jnp.take(state["beta_g"], data_.subject_group, axis=1)
         inv_tau2 = jnp.exp(-2.0 * state["log_tau_s"])[:, None, :]
         diff = value - bg_s
         val = jnp.sum(
@@ -209,11 +216,7 @@ def make_nested_poisson(
         return _gibbs_tau(key, quad, G)
 
     def gibbs_log_tau_s(key, state, data):
-        return _gibbs_tau(key, _dev2_s(state), S)
-
-    # (G,) subjects per group, computed ONCE at construction (computing it
-    # inside the jitted draw would leak a tracer through the closure cache)
-    subj_counts = data.subjects_per_group().astype(jnp.float32)
+        return _gibbs_tau(key, _dev2_s(state, data), S)
 
     def gibbs_beta_g(key, state, data):
         """EXACT conjugate draw of beta_g | beta_s, mu, tau_s, tau_g.
@@ -231,6 +234,9 @@ def make_nested_poisson(
         s_g = jnp.swapaxes(s_g, 0, 1)
         inv_ts2 = jnp.exp(-2.0 * state["log_tau_s"])[:, None, :]
         inv_tg2 = jnp.exp(-2.0 * state["log_tau_g"])[:, None, :]
+        # (G,) subject counts from the TRACED data (loop-invariant; XLA
+        # hoists it out of the scan body)
+        subj_counts = data.subjects_per_group().astype(jnp.float32)
         prec = subj_counts[None, :, None] * inv_ts2 + inv_tg2
         mean = (s_g * inv_ts2 + state["mu"][:, None, :] * inv_tg2) / prec
         eps = jax.random.normal(key, mean.shape, mean.dtype)
@@ -248,9 +254,9 @@ def make_nested_poisson(
         lt_new = lt + scale * jax.random.normal(k1, lt.shape, lt.dtype)
         ratio = jnp.exp(lt_new - lt)[:, None, :]
         bg_new = mu[:, None, :] + (bg - mu[:, None, :]) * ratio
-        sp_old = jnp.sum(_sprior(position), axis=-1)
+        sp_old = jnp.sum(_sprior(position, data_), axis=-1)
         sp_new = jnp.sum(
-            _sprior({**position, "beta_g": bg_new}), axis=-1
+            _sprior({**position, "beta_g": bg_new}, data_), axis=-1
         )
         prior_delta = jnp.sum(
             _tau_logprior(lt_new) + log_scale_guard(lt_new)
@@ -278,7 +284,7 @@ def make_nested_poisson(
         k1, k2 = jax.random.split(key)
         bs, lt = position["beta_s"], position["log_tau_s"]
         C = lt.shape[0]
-        bg_s = jnp.take(position["beta_g"], data.subject_group, axis=1)
+        bg_s = jnp.take(position["beta_g"], data_.subject_group, axis=1)
         lt_new = lt + scale * jax.random.normal(k1, lt.shape, lt.dtype)
         ratio = jnp.exp(lt_new - lt)[:, None, :]
         bs_new = bg_s + (bs - bg_s) * ratio
@@ -288,10 +294,10 @@ def make_nested_poisson(
             lik_old = lik_cache["v"]
             lik_new, grad_new = lik_value_and_grad(bs_new, data_)
         else:
-            lik_new = lik_fn(bs_new, data, lgamma_y)
+            lik_new = _lik(bs_new, data_)
             lik_old = lik_cache
             if lik_old is None:
-                lik_old = lik_fn(bs, data, lgamma_y)
+                lik_old = _lik(bs, data_)
         prior_delta = jnp.sum(
             _tau_logprior(lt_new) + log_scale_guard(lt_new)
             - _tau_logprior(lt), axis=-1,
@@ -326,8 +332,8 @@ def make_nested_poisson(
 
     def joint(state, data):
         return (
-            jnp.sum(lik_fn(state["beta_s"], data, lgamma_y), axis=-1)
-            + jnp.sum(_sprior(state), axis=-1)
+            jnp.sum(_lik(state["beta_s"], data), axis=-1)
+            + jnp.sum(_sprior(state, data), axis=-1)
             + jnp.sum(_gprior(state), axis=-1)
             + _pprior(state)
         )
@@ -345,8 +351,21 @@ def make_nested_poisson(
     def prior_sample(key, data, chains):
         ks = jax.random.split(key, 5)
         mu = prior_mu_scale * jax.random.normal(ks[0], (chains, p))
-        tau_g = prior_tau_scale * jnp.abs(jax.random.normal(ks[1], (chains, p)))
-        tau_s = prior_tau_scale * jnp.abs(jax.random.normal(ks[2], (chains, p)))
+        if conj_tau:
+            # tau^2 ~ InvGamma(a, b), sampled as b / Gamma(a) — the ACTUAL
+            # prior of the invgamma variant (Geweke/SBC calibration draws
+            # from here; using the half-normal would fail them, correctly)
+            g1 = jax.random.gamma(ks[1], tau_ig_shape, (chains, p))
+            g2 = jax.random.gamma(ks[2], tau_ig_shape, (chains, p))
+            tau_g = jnp.sqrt(tau_ig_scale / g1)
+            tau_s = jnp.sqrt(tau_ig_scale / g2)
+        else:
+            tau_g = prior_tau_scale * jnp.abs(
+                jax.random.normal(ks[1], (chains, p))
+            )
+            tau_s = prior_tau_scale * jnp.abs(
+                jax.random.normal(ks[2], (chains, p))
+            )
         beta_g = mu[:, None, :] + tau_g[:, None, :] * jax.random.normal(
             ks[3], (chains, G, p)
         )
@@ -387,8 +406,10 @@ def make_nested_poisson(
         # sweeps so each sweep evaluates it once (for the proposal).
         cond_cached={
             "beta_s": (
-                lambda v, data: lik_fn(v, data, lgamma_y),
-                lambda v, state, data: _sprior({**state, "beta_s": v}),
+                lambda v, data: _lik(v, data),
+                lambda v, state, data: _sprior(
+                    {**state, "beta_s": v}, data
+                ),
             ),
         },
         cond_cached_grad={

@@ -18,7 +18,14 @@ addressable shards suffice to rebuild on resume with the same topology).
 
 from __future__ import annotations
 
+import os
+
 import jax
+
+
+def _env_int(name: str) -> int | None:
+    v = os.environ.get(name)
+    return None if v in (None, "") else int(v)
 
 
 def initialize(
@@ -28,9 +35,20 @@ def initialize(
 ) -> None:
     """Thin wrapper over jax.distributed.initialize with env fallbacks.
 
-    On single-host (or when no coordinator is configured) this is a no-op,
-    so the same entrypoint works everywhere.
+    Explicit arguments win; otherwise NESTMC_COORDINATOR_ADDRESS /
+    NESTMC_NUM_PROCESSES / NESTMC_PROCESS_ID are read (jax.distributed
+    additionally auto-detects cluster envs on its own). On single-host —
+    no argument and no env configured — this is a no-op, so the same
+    entrypoint works everywhere.
     """
+    if coordinator_address is None:
+        coordinator_address = os.environ.get(
+            "NESTMC_COORDINATOR_ADDRESS"
+        ) or None
+    if num_processes is None:
+        num_processes = _env_int("NESTMC_NUM_PROCESSES")
+    if process_id is None:
+        process_id = _env_int("NESTMC_PROCESS_ID")
     if coordinator_address is None and num_processes is None:
         return  # single-host
     jax.distributed.initialize(

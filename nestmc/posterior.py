@@ -55,17 +55,23 @@ class Posterior:
         vals = [jnp.max(v["rhat"]) for v in d.values()]
         if self.full_rhat is not None:
             vals += [jnp.max(v) for v in self.full_rhat.values()]
+        if not vals:  # zero-draw run (e.g. resume with no draws remaining)
+            return float("nan")
         return float(jnp.max(jnp.stack(vals)))
 
     def total_ess(self, kind: str = "ess_bulk") -> float:
         """Sum of ESS over every collected scalar parameter."""
         d = self.diagnostics()
+        if not d:
+            return 0.0
         return float(
             jnp.sum(jnp.stack([jnp.sum(v[kind]) for v in d.values()]))
         )
 
     def min_ess(self, kind: str = "ess_bulk") -> float:
         d = self.diagnostics()
+        if not d:
+            return 0.0
         return float(
             jnp.min(jnp.stack([jnp.min(v[kind]) for v in d.values()]))
         )

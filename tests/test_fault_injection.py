@@ -58,11 +58,17 @@ def test_kill_and_resume(tmp_path):
     proc.send_signal(signal.SIGKILL)
     proc.wait()
 
-    # resume in a fresh process; shrink remaining draws so the test is fast
+    # resume runs only the REMAINDER of the draw budget (the CLI subtracts
+    # the checkpoint's draws_done); shrink the total so the test is fast.
+    latest = sorted(
+        f for f in os.listdir(ckdir) if f.startswith("meta_sample")
+    )[-1]
+    with open(os.path.join(ckdir, latest)) as f:
+        done = json.load(f)["draws_done"]
     r = subprocess.run(
         [
             PY, "-m", "nestmc", "run", "--preset", "eight-schools",
-            "--chains", "4", "--warmup", "40", "--draws", "40",
+            "--chains", "4", "--warmup", "40", "--draws", str(done + 40),
             "--segment-size", "20", "--checkpoint-dir", ckdir,
             "--resume", "--quiet", "--metric-json",
         ],
@@ -70,5 +76,6 @@ def test_kill_and_resume(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-800:]
     assert "resuming from" in r.stderr
+    assert f"running the remaining 40 of {done + 40}" in r.stderr
     res = json.loads(r.stdout.strip().splitlines()[-1])
     assert res["total_ess"] > 0
