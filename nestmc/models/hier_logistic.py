@@ -32,11 +32,19 @@ from nestmc.ops.loglik import logistic_loglik_padded, logistic_loglik_segment
 
 
 def _resolve_loglik(data, impl: str):
-    """Pick the (beta, data) -> (C, G) likelihood implementation."""
+    """Pick the (beta, data) -> (C, G) likelihood implementation.
+
+    Returns (lik_fn, chosen_name, segment_layout_or_None). For ragged data
+    'pallas-segment' selects the fused tiled-CSR kernel
+    (ops/pallas/loglik_segment.py); its static obs re-layout is built here,
+    once, from the concrete segment structure. 'auto' picks the Pallas
+    kernels on TPU (segment kernel for ragged: measured faster than the
+    jnp gather+segment_sum path AND it unblocks MALA at 1024 chains)."""
     ragged = isinstance(data, RaggedData)
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        impl = "pallas" if (on_tpu and not ragged) else "jnp"
+        impl = ("pallas-segment" if ragged else "pallas") if on_tpu \
+            else "jnp"
     if impl == "pallas" and not ragged:
         from nestmc.ops.pallas.loglik_logistic import (
             logistic_loglik_padded_pallas,
@@ -46,17 +54,55 @@ def _resolve_loglik(data, impl: str):
             return logistic_loglik_padded_pallas(
                 beta, data.x, data.y, data.mask
             )
-        return lik, impl
+        return lik, impl, None
     if ragged:
+        if impl == "pallas-segment":
+            import numpy as np
+
+            from nestmc.ops.pallas.loglik_segment import (
+                TiledSegmentLayout,
+                logistic_loglik_segment_pallas,
+            )
+
+            layout = TiledSegmentLayout.build(
+                np.asarray(data.segment_ids), data.num_groups
+            )
+
+            def lik(beta, data):
+                return logistic_loglik_segment_pallas(
+                    beta, data.x, data.y, layout
+                )
+            return lik, impl, layout
+        if impl == "bucket":
+            import numpy as np
+
+            from nestmc.ops.bucket import (
+                BucketLayout,
+                bucketed_logistic_loglik,
+            )
+
+            layout = BucketLayout.build(
+                np.asarray(data.segment_ids), data.num_groups
+            )
+            pad_impl = (
+                "pallas" if jax.default_backend() == "tpu" else "jnp"
+            )
+
+            def lik(beta, data):
+                return bucketed_logistic_loglik(
+                    beta, data.x, data.y, layout, impl=pad_impl
+                )
+            return lik, "bucket", layout
+
         def lik(beta, data):
             return logistic_loglik_segment(
                 beta, data.x, data.y, data.segment_ids, data.num_groups
             )
-        return lik, "jnp-segment"
+        return lik, "jnp-segment", None
 
     def lik(beta, data):
         return logistic_loglik_padded(beta, data.x, data.y, data.mask)
-    return lik, "jnp"
+    return lik, "jnp", None
 
 
 def make_hier_logistic(
@@ -81,7 +127,7 @@ def make_hier_logistic(
     if tau_prior not in ("halfnormal", "invgamma"):
         raise ValueError(tau_prior)
     conj_tau = tau_prior == "invgamma"
-    lik_fn, chosen = _resolve_loglik(data, loglik_impl)
+    lik_fn, chosen, seg_layout = _resolve_loglik(data, loglik_impl)
 
     _LOG_2PI = 1.8378770664093453
 
@@ -147,9 +193,34 @@ def make_hier_logistic(
 
     def lik_value_and_grad(value, data):
         """(loglik (C,G), grad (C,G,p)) of the data likelihood only —
-        fused Pallas kernel on padded data (BASELINE.json:11), one jax.vjp
-        of the segment path for ragged data."""
-        if not isinstance(data, RaggedData) and chosen == "pallas":
+        fused Pallas kernel on padded data (BASELINE.json:11); for ragged
+        data the fused Pallas segment kernel, or the memory-lean jnp
+        formulation (O(C N) peak instead of the O(C N p) jax.vjp that
+        OOMed a v5e at 1024 chains)."""
+        if isinstance(data, RaggedData):
+            if chosen == "pallas-segment":
+                from nestmc.ops.pallas.loglik_segment import (
+                    logistic_logp_grad_segment_pallas,
+                )
+
+                return logistic_logp_grad_segment_pallas(
+                    value, data.x, data.y, seg_layout
+                )
+            if chosen == "bucket":
+                from nestmc.ops.bucket import bucketed_logistic_logp_grad
+
+                pad_impl = (
+                    "pallas" if jax.default_backend() == "tpu" else "jnp"
+                )
+                return bucketed_logistic_logp_grad(
+                    value, data.x, data.y, seg_layout, impl=pad_impl
+                )
+            from nestmc.ops.loglik import logistic_logp_grad_segment
+
+            return logistic_logp_grad_segment(
+                value, data.x, data.y, data.segment_ids, data.num_groups
+            )
+        if chosen == "pallas":
             from nestmc.ops.pallas.loglik_logistic import (
                 logistic_logp_grad_pallas,
             )

@@ -1,0 +1,152 @@
+"""Bucketed evaluation of ragged likelihoods through the PADDED kernels.
+
+The alternative ragged strategy to the tiled-CSR segment kernel
+(ops/pallas/loglik_segment.py): partition groups into size buckets, pad
+each bucket only to its own cap (power-of-2 edges bound padding waste to
+<2x), and run the measured-optimal padded kernel once per bucket —
+SURVEY.md §2.1 "size-bucketing to bound padding waste", the engine wiring
+for data.py::bucket_by_size.
+
+Like TiledSegmentLayout, the bucket structure is built ONCE on the host
+from the (static) segment structure; the value gathers run traced, are
+loop-invariant in the sampling scan, and keep data sharding flowing
+through the jit boundary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class Bucket:
+    group_index: jnp.ndarray   # (Gb,) int32 original group ids
+    obs_index: jnp.ndarray     # (Gb, cap) int32 flat obs ids, -1 = pad
+    cap: int
+
+
+@dataclass(frozen=True)
+class BucketLayout:
+    buckets: tuple            # tuple[Bucket, ...]
+    num_groups: int
+
+    @staticmethod
+    def build(segment_ids, num_groups: int, edges=None,
+              min_groups: int = 32) -> "BucketLayout":
+        """Bucket groups by size with power-of-2 edges (or explicit
+        ``edges``); buckets smaller than ``min_groups`` merge upward so a
+        long size tail cannot fragment into many tiny kernel launches.
+        Size-0 groups fall in no bucket (their log-likelihood is zero)."""
+        seg = np.asarray(segment_ids)
+        if seg.size and np.any(np.diff(seg) < 0):
+            raise ValueError("segment_ids must be sorted ascending")
+        sizes = np.bincount(seg, minlength=num_groups)
+        start = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+        cap_max = int(sizes.max()) if num_groups else 0
+        if edges is None:
+            edges, e = [], 1
+            while e < cap_max:
+                e *= 2
+                edges.append(e)
+            if not edges:
+                edges = [max(cap_max, 1)]
+        buckets, pending = [], []
+        lo = 0
+        for hi in edges:
+            idx = np.where((sizes > lo) & (sizes <= hi))[0]
+            lo = hi
+            pending.append((hi, idx))
+            total = sum(len(i) for _, i in pending)
+            if total == 0:
+                continue
+            is_last = hi == edges[-1]
+            if total < min_groups and not is_last:
+                continue  # merge into the next bucket up
+            cap = pending[-1][0]
+            gidx = np.concatenate([i for _, i in pending])
+            gidx.sort()
+            pending = []
+            col = np.arange(cap, dtype=np.int64)[None, :]
+            row = start[gidx][:, None] + col
+            valid = col < sizes[gidx][:, None]
+            obs = np.where(valid, row, -1).astype(np.int32)
+            buckets.append(Bucket(
+                group_index=jnp.asarray(gidx.astype(np.int32)),
+                obs_index=jnp.asarray(obs),
+                cap=cap,
+            ))
+        return BucketLayout(buckets=tuple(buckets), num_groups=num_groups)
+
+    def padded_obs(self) -> int:
+        return int(sum(
+            b.obs_index.shape[0] * b.cap for b in self.buckets
+        ))
+
+
+def _gather_bucket(b: Bucket, x, y):
+    """Traced: flat (N, p)/(N,) -> padded (Gb, cap, p)/(Gb, cap) + mask."""
+    valid = b.obs_index >= 0
+    safe = jnp.maximum(b.obs_index, 0)
+    xb = jnp.where(
+        valid[:, :, None], jnp.take(x, safe.reshape(-1), axis=0)
+        .reshape(safe.shape + (x.shape[-1],)), 0.0,
+    )
+    yb = jnp.where(valid, jnp.take(y, safe.reshape(-1), axis=0)
+                   .reshape(safe.shape), 0.0)
+    return xb, yb, valid.astype(jnp.float32)
+
+
+def bucketed_logistic_loglik(beta, x, y, layout: BucketLayout,
+                             impl: str = "jnp"):
+    """(C, G, p) beta + flat ragged obs -> (C, G) loglik, one padded-kernel
+    launch per bucket. Parity contract with
+    ops/loglik.py::logistic_loglik_segment (tests/test_bucket.py)."""
+    from nestmc.ops.loglik import logistic_loglik_padded
+
+    C, G, _ = beta.shape
+    ll = jnp.zeros((C, G), jnp.float32)
+    for b in layout.buckets:
+        xb, yb, mb = _gather_bucket(b, x, y)
+        bb = jnp.take(beta, b.group_index, axis=1)
+        if impl == "pallas":
+            from nestmc.ops.pallas.loglik_logistic import (
+                logistic_loglik_padded_pallas,
+            )
+
+            llb = logistic_loglik_padded_pallas(bb, xb, yb, mb)
+        else:
+            llb = logistic_loglik_padded(bb, xb, yb, mb)
+        ll = ll.at[:, b.group_index].set(llb)
+    return ll
+
+
+def bucketed_logistic_logp_grad(beta, x, y, layout: BucketLayout,
+                                impl: str = "jnp"):
+    """Fused value+grad per bucket: ((C, G), (C, G, p))."""
+    C, G, p = beta.shape
+    ll = jnp.zeros((C, G), jnp.float32)
+    grad = jnp.zeros((C, G, p), jnp.float32)
+    for b in layout.buckets:
+        xb, yb, mb = _gather_bucket(b, x, y)
+        bb = jnp.take(beta, b.group_index, axis=1)
+        if impl == "pallas":
+            from nestmc.ops.pallas.loglik_logistic import (
+                logistic_logp_grad_pallas,
+            )
+
+            llb, gb = logistic_logp_grad_pallas(bb, xb, yb, mb)
+        else:
+            from nestmc.ops.loglik import logistic_loglik_padded
+
+            llb, vjp = jax.vjp(
+                lambda bb_: logistic_loglik_padded(bb_, xb, yb, mb), bb
+            )
+            (gb,) = vjp(jnp.ones_like(llb))
+        ll = ll.at[:, b.group_index].set(llb)
+        grad = grad.at[:, b.group_index, :].set(gb)
+    return ll, grad

@@ -97,3 +97,34 @@ def poisson_loglik_segment(beta, x, y, segment_ids, num_groups, lgamma_y=None):
         lgamma_y = gammaln(y + 1.0)
     ll = y * eta - jnp.exp(eta) - lgamma_y
     return _segsum_cn(ll, segment_ids, num_groups)
+
+
+def _eta_segment_lean(beta, x, segment_ids):
+    """eta (C, N) via p separate (C, N) gathers — never materializes the
+    (C, N, p) per-obs coefficient tensor (2.1 GB at C=1024, N=175k; the
+    jax.vjp of the _eta_segment form needs ~3 of those and OOMs a v5e —
+    the round-1 failure behind commit 69eea60)."""
+    p = beta.shape[-1]
+    eta = jnp.take(beta[:, :, 0], segment_ids, axis=1) * x[:, 0]
+    for k in range(1, p):
+        eta = eta + jnp.take(beta[:, :, k], segment_ids, axis=1) * x[:, k]
+    return eta
+
+
+def logistic_logp_grad_segment(beta, x, y, segment_ids, num_groups):
+    """Fused value+grad of the ragged Bernoulli-logit log-likelihood.
+
+    Returns ((C, G) loglik, (C, G, p) grad wrt beta). Same math as
+    ``jax.vjp`` of :func:`logistic_loglik_segment` but with O(C N) peak
+    memory instead of O(C N p): per-coordinate gathers for eta and
+    per-coordinate segment reductions for the grad.
+    """
+    eta = _eta_segment_lean(beta, x, segment_ids)        # (C, N)
+    ll = y * eta - nn.softplus(eta)
+    out = _segsum_cn(ll, segment_ids, num_groups)        # (C, G)
+    resid = y - nn.sigmoid(eta)                          # (C, N)
+    grads = [
+        _segsum_cn(resid * x[:, k], segment_ids, num_groups)
+        for k in range(beta.shape[-1])
+    ]
+    return out, jnp.stack(grads, axis=-1)                # (C, G, p)
