@@ -19,13 +19,16 @@ import subprocess
 import time
 
 
-def run_preset(name: str, scale: float, seed: int) -> dict:
+def run_preset(name: str, scale: float, seed: int, **overrides) -> dict:
     import jax
 
     from nestmc.engine import sample
-    from nestmc.presets import get_preset
+    from nestmc.presets import get_preset, override_run
 
     model, data, cfg = get_preset(name, seed=seed, scale=scale)
+    overrides = {k: v for k, v in overrides.items() if v is not None}
+    if overrides:
+        cfg = override_run(cfg, **overrides)
     t0 = time.perf_counter()
     post = sample(model, data, cfg)
     wall = time.perf_counter() - t0
@@ -65,6 +68,11 @@ def main() -> int:
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", help="directory for result JSON files")
+    # schedule overrides (convergence campaigns tune these per config
+    # without touching the preset definitions)
+    ap.add_argument("--chains", type=int)
+    ap.add_argument("--warmup", type=int)
+    ap.add_argument("--draws", type=int)
     args = ap.parse_args()
 
     from nestmc.presets import PRESETS
@@ -83,7 +91,10 @@ def main() -> int:
     }
     results = []
     for name in names:
-        res = run_preset(name, args.scale, args.seed)
+        res = run_preset(
+            name, args.scale, args.seed,
+            chains=args.chains, warmup=args.warmup, draws=args.draws,
+        )
         res["meta"] = meta
         print(json.dumps(res, default=str))
         results.append(res)

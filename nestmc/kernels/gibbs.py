@@ -69,10 +69,13 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
                 # solves in the correction term — not implemented; fall
                 # back to an unpreconditioned Langevin proposal.
                 pstd = None
+            fused_table = (
+                model.fused_updates if algorithm == "rwmh"
+                else model.fused_updates_mala
+            )
             use_fused = (
                 cfg.kernel.fused_accept
-                and name in model.fused_updates
-                and algorithm == "rwmh"
+                and name in fused_table
                 and pstd is None
                 # interpret mode stubs the TPU core PRNG with zeros
                 and jax.default_backend() == "tpu"
@@ -83,7 +86,7 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
             for r in range(max(1, block.repeats)):
                 kr = jax.random.fold_in(kb, r)
                 if use_fused:
-                    new_value, new_cache, alpha = model.fused_updates[name](
+                    new_value, new_cache, alpha = fused_table[name](
                         kr, position, cache, log_scale[name], data
                     )
                 else:

@@ -100,8 +100,12 @@ def init_kernel_state(
         else:
             cache[b.name] = None
     for mname in model.joint_moves:
-        # joint moves carry one per-chain proposal scale + accept counter
-        log_scale[mname] = jnp.full((chains, 1), math.log(0.1), dtype)
+        # joint moves carry one per-chain proposal scale + accept counter;
+        # models whose move sums log-alpha over many units override the
+        # default start (ModelSpec.joint_move_init_scale) — RM adaptation
+        # needs O(100) sweeps per decade of initial-scale error.
+        s0 = model.joint_move_init_scale.get(mname, 0.1)
+        log_scale[mname] = jnp.full((chains, 1), math.log(s0), dtype)
         accept_sum[mname] = jnp.zeros((chains, 1), dtype)
     return KernelState(
         position=position,

@@ -146,11 +146,23 @@ class ModelSpec:
     # {move_name: k}: run the move k times per sweep (worth it for cheap
     # likelihood-free moves, e.g. group-level interweaving via suff stats)
     joint_move_repeats: dict = dataclasses.field(default_factory=dict)
+    # {move_name: s0}: initial proposal scale for the move (default 0.1).
+    # Matters when the move's optimal scale shrinks with model size: e.g.
+    # an interweaving move whose log-alpha sums over all G groups needs
+    # s ~ G^(-1/2); Robbins-Monro takes O(100) sweeps per decade of scale
+    # error, so a size-aware start is what makes short warmups viable.
+    joint_move_init_scale: dict = dataclasses.field(default_factory=dict)
     # {block_name: fn(key, position, cache, log_scale, data) ->
     #  (new_value, new_cache, alpha)} single-kernel fused RW-MH updates
     # (propose+lik+accept in one Pallas pass); engaged only when
     # KernelConfig.fused_accept is set and the block runs plain RW-MH.
     fused_updates: dict = dataclasses.field(default_factory=dict)
+    # MALA analog: {block_name: fn(key, position, cache, log_scale, data)
+    # -> (new_value, {'v','g'} cache, alpha)} — the whole Langevin
+    # propose+logp+grad+correct+accept+select as one Pallas pass; engaged
+    # when KernelConfig.fused_accept is set, the block runs MALA, and no
+    # preconditioner is active.
+    fused_updates_mala: dict = dataclasses.field(default_factory=dict)
     # MALA analog of cond_cached: {block_name: (self_vag, rest_vag)} where
     # self_vag(value, data) -> ((C,U) logp, value-shaped grad) depends on no
     # other block (the data likelihood), rest_vag(value, state, data) ->

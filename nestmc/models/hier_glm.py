@@ -20,6 +20,8 @@ interweaving move for (tau, beta).
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
@@ -213,6 +215,11 @@ def make_hier_glm(
         init_state=init_state,
         gibbs_draws={"mu": gibbs_mu},
         joint_moves={"asis_tau": asis_tau_move},
+        # log-alpha sums likelihood deltas over all G groups: start the
+        # proposal scale at the (p G)^(-1/2) law instead of the 0.1 default
+        joint_move_init_scale={
+            "asis_tau": 2.38 / math.sqrt(p * max(G, 1)),
+        },
     )
 
 

@@ -14,6 +14,8 @@ Gibbs blocks (all batched over chains):
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
@@ -433,6 +435,13 @@ def make_nested_poisson(
         # tau_g interweaving touches no data (O(C S p) elementwise) — repeat
         # it; tau_s interweaving costs one likelihood eval, repeat modestly
         joint_move_repeats={"asis_tau_g": 4, "asis_tau_s": 2},
+        # size-aware starts: each move's log-alpha sums over S subject-prior
+        # terms (tau_g) / all N obs-likelihood terms (tau_s), so optimal
+        # steps shrink like the inverse square root of those counts
+        joint_move_init_scale={
+            "asis_tau_g": 2.38 / math.sqrt(p * max(S, 1)),
+            "asis_tau_s": 2.38 / math.sqrt(p * max(int(data.y.shape[0]), 1)),
+        },
     )
 
 

@@ -30,8 +30,13 @@ Design — tiled CSR over a (chain-tile, obs-chunk) grid:
   obs->group reductions (onehot^T @ ll_obs) without any masking.
 
 The one-hot contraction costs TG x the gather's FLOPs, so TG trades MXU
-work against grid length and tile padding; TG=32, TN=256 measured best at
-G=10k on v5e (see BASELINE.md round-2 ablation).
+work against grid length and tile padding. Measured (v5e, C=1024, G=10k,
+N=174k, p=3, fused logp+grad, f32-precision dots): TG=32/TN=256 12.34 ms,
+TG=64 12.88 ms, TN=512 14.30 ms, TG=16 13.87 ms — all SLOWER than the
+size-bucketed padded path (ops/bucket.py, 6.43 ms), which hier_logistic's
+'auto' therefore prefers; this kernel remains the choice when bucketing is
+unusable (e.g. group sizes too skewed for <2x padding, or layouts that
+must not duplicate obs arrays).
 """
 
 from __future__ import annotations
@@ -141,10 +146,16 @@ def _onehot(ylg_block, TG):
 
 
 def _reduce(onehot, obs_vals):
-    """(TN, TG)^T @ (TN, TC) obs->group reduction on the MXU."""
+    """(TN, TG)^T @ (TN, TC) obs->group reduction on the MXU.
+
+    Precision HIGHEST: the MXU ingests bf16 by default, and 0.4%-relative
+    noise on a log-likelihood subtly perturbs the stationary distribution
+    (measured max rel err 2.9e-3 vs the f32 reference on a real chip).
+    """
     return jax.lax.dot_general(
         onehot, obs_vals, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -158,6 +169,7 @@ def _make_segment_kernel(p: int, TG: int, with_grad: bool):
             bobs = jnp.dot(
                 onehot, beta_ref[:, k, :],
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )                                                # (TN, TC)
             term = xt_ref[:, k:k + 1] * bobs
             eta = term if eta is None else eta + term

@@ -118,9 +118,10 @@ def _ragged_10k(seed: int, scale: float):
     model = make_hier_logistic(data)
     n_dev = len(jax.devices())
     cfg = SamplerConfig(
-        # RW-MH: MALA's vjp through the (chains, obs, p) segment gather
-        # roughly triples peak HBM and crashes the worker at 1024 chains
-        # on one chip; the adapted RW path fits.
+        # MALA via the bucketed fused logp+grad path (O(C N) peak memory):
+        # fits 1024 chains on one chip, unlike the round-1 vjp-through-
+        # gather that OOMed and forced an RW fallback.
+        kernel=KernelConfig(algorithm="mala"),
         run=RunConfig(
             chains=1024 if scale >= 1.0 else 8 * max(n_dev, 1),
             warmup=max(50, int(600 * scale)),
