@@ -127,3 +127,71 @@ def test_diagnostics_multiparam_shapes():
     assert split_rhat(x).shape == (5, 2)
     assert ess(x).shape == (5, 2)
     assert ess_bulk(jnp.asarray(x)).shape == (5, 2)
+
+
+# ---- hand-computed constants (independent of reference_diagnostics.py) ----
+#
+# The numpy golden mirrors nestmc's conventions, so it cannot catch a
+# convention error both share. These cases were derived BY HAND from the
+# published formulas (Vehtari et al. 2021; BDA3), with every intermediate
+# written out, and pin literal constants.
+
+
+def test_split_rhat_hand_case_trending():
+    """chains [[0,1,2,3],[1,2,3,4]] -> split seqs [0,1],[2,3],[1,2],[3,4].
+    Means .5,2.5,1.5,3.5; each seq var (ddof=1) = 0.5 -> W = 1/2.
+    var(means, ddof=1) = 5/3 -> B = N*5/3 = 10/3 (N=2).
+    var+ = (N-1)/N * W + B/N = 1/4 + 5/3 = 23/12.
+    R-hat = sqrt((23/12)/(1/2)) = sqrt(23/6) = 1.9578900."""
+    from nestmc.diagnostics import split_rhat
+
+    x = jnp.asarray([[0.0, 1.0, 2.0, 3.0], [1.0, 2.0, 3.0, 4.0]])
+    np.testing.assert_allclose(
+        float(split_rhat(x)), np.sqrt(23.0 / 6.0), rtol=1e-6
+    )
+
+
+def test_split_rhat_hand_case_mirrored():
+    """chains [[1,2,3,4],[4,3,2,1]] -> seqs [1,2],[3,4],[4,3],[2,1].
+    Means 1.5,3.5,3.5,1.5; W = 1/2; var(means, ddof=1) = 4/3 -> B = 8/3;
+    var+ = 1/4 + 4/3 = 19/12; R-hat = sqrt(19/6) = 1.7795130."""
+    from nestmc.diagnostics import split_rhat
+
+    x = jnp.asarray([[1.0, 2.0, 3.0, 4.0], [4.0, 3.0, 2.0, 1.0]])
+    np.testing.assert_allclose(
+        float(split_rhat(x)), np.sqrt(19.0 / 6.0), rtol=1e-6
+    )
+
+
+def test_rank_normalize_hand_case_average_ties():
+    """pooled values 1,2,2,3 (n=4): average ranks 1, 2.5, 2.5, 4; the
+    Blom-offset transform z = ndtri((r - 3/8)/(n + 1/4)) gives literal
+    fractions 0.625/4.25, 2.125/4.25 (= 1/2 -> z = 0), 3.625/4.25."""
+    from scipy.stats import norm
+
+    from nestmc.diagnostics import _rank_normalize
+
+    x = jnp.asarray([[1.0, 2.0], [2.0, 3.0]])
+    z = np.asarray(_rank_normalize(x))
+    expect = np.array([
+        [norm.ppf(0.625 / 4.25), 0.0],
+        [0.0, norm.ppf(3.625 / 4.25)],
+    ])
+    np.testing.assert_allclose(z, expect, atol=1e-5)
+
+
+def test_ess_hand_case_geyer_pairing_and_floor():
+    """chains [[0,0,1,1],[1,1,0,0]], split=False (M=2, N=4).
+
+    Per chain (centered +-1/2): biased autocovs c = [1/4, 1/16, -1/8,
+    -1/16]; W = mean(c0 * N/(N-1)) = 1/3; B = 0 (equal chain means);
+    var+ = 3/4 * 1/3 = 1/4. rho_t = 1 - (W - c_t)/var+ =
+    [2/3, -1/12, -11/6, -7/12]. Geyer pairs: P0 = 7/12 > 0 kept,
+    P1 = -29/12 masked. tau = -1 + 2*(7/12) = 1/6, floored at
+    1/log10(8); ESS = 8*log10(8) = 7.2247199."""
+    from nestmc.diagnostics import ess
+
+    x = jnp.asarray([[0.0, 0.0, 1.0, 1.0], [1.0, 1.0, 0.0, 0.0]])
+    np.testing.assert_allclose(
+        float(ess(x, split=False)), 8.0 * np.log10(8.0), rtol=1e-5
+    )
