@@ -61,14 +61,6 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
 
             algorithm = block.algorithm or cfg.kernel.algorithm
             pstd = precond_std(precond[name], cfg.kernel)
-            if (
-                algorithm == "mala" and pstd is not None
-                and pstd.ndim == position[name].ndim + 1
-            ):
-                # full-covariance mass matrix for MALA needs triangular
-                # solves in the correction term — not implemented; fall
-                # back to an unpreconditioned Langevin proposal.
-                pstd = None
             fused_table = (
                 model.fused_updates if algorithm == "rwmh"
                 else model.fused_updates_mala

@@ -47,13 +47,24 @@ def _sq_norm_per_unit(x, block: Block):
     return r if block.units else r[:, None]
 
 
+def _whiten(r, chol):
+    """L^{-1} r over the trailing unit dim (batched triangular solve)."""
+    z = jax.lax.linalg.triangular_solve(
+        chol, r[..., None], left_side=True, lower=True
+    )
+    return z[..., 0]
+
+
 def mala_update(key, block: Block, model: ModelSpec, position, log_scale,
                 pstd, data, cache=None):
     """One MALA update of ``block`` for all chains (and units).
 
-    ``pstd`` (diagonal preconditioner std) acts as a per-coordinate mass
-    matrix: proposal v' = v + (s^2/2) M g + s sqrt(M) eps with M = pstd^2;
-    the correction term uses the M-weighted norm.
+    ``pstd`` acts as a mass matrix: diagonal (value-shaped std, M = pstd^2)
+    or FULL (per-(chain, unit) lower-Cholesky factor L with one extra
+    trailing matrix dim, M = L L^T — the Haario EMA covariance). Proposal
+    v' = v + (s^2/2) M g + s L eps; the correction uses the M^{-1}-weighted
+    norm, computed as ||L^{-1} r||^2 via a batched triangular solve (the
+    unit dim is tiny, p = 2..8, so the solves are cheap VPU work).
 
     ``cache``: optional {'v': (C,U), 'g': value-shaped} carried (logp, grad)
     of the SELF-CONTAINED conditional part (ModelSpec.cond_cached_grad) at
@@ -63,7 +74,23 @@ def mala_update(key, block: Block, model: ModelSpec, position, log_scale,
     k_eps, k_u = jax.random.split(key)
     s = bcast_over_unit_shape(jnp.exp(log_scale), block)
     s2 = s * s
-    m = jnp.ones_like(value) if pstd is None else pstd * pstd
+    full = pstd is not None and pstd.ndim == value.ndim + 1
+    if full:
+        mm = jnp.einsum("...ij,...kj->...ik", pstd, pstd)  # L L^T
+
+        def m_apply(g):
+            return jnp.einsum("...ij,...j->...i", mm, g)
+
+        def shape_noise(e):
+            return jnp.einsum("...ij,...j->...i", pstd, e)
+    else:
+        m = jnp.ones_like(value) if pstd is None else pstd * pstd
+
+        def m_apply(g):
+            return m * g
+
+        def shape_noise(e):
+            return e if pstd is None else pstd * e
 
     if cache is not None:
         self_vag, rest_vag = model.cond_cached_grad[block.name]
@@ -76,8 +103,7 @@ def mala_update(key, block: Block, model: ModelSpec, position, log_scale,
         )
         d_old = as_cu(d_old, block)
     eps = jax.random.normal(k_eps, value.shape, value.dtype)
-    sqrt_m = 1.0 if pstd is None else pstd
-    prop = value + 0.5 * s2 * m * g_old + s * sqrt_m * eps
+    prop = value + 0.5 * s2 * m_apply(g_old) + s * shape_noise(eps)
 
     if cache is not None:
         sv_new, sg_new = self_vag(prop, data)
@@ -92,11 +118,15 @@ def mala_update(key, block: Block, model: ModelSpec, position, log_scale,
         d_new = as_cu(d_new, block)
 
     # log q(a | b) = -||a - b - (s^2/2) M g(b)||_{M^-1}^2 / (2 s^2) + const
-    fwd = prop - value - 0.5 * s2 * m * g_old   # = s sqrt(M) eps
-    rev = value - prop - 0.5 * s2 * m * g_new
-    inv_m = 1.0 / m
-    log_q_fwd = -_sq_norm_per_unit(fwd * jnp.sqrt(inv_m), block)
-    log_q_rev = -_sq_norm_per_unit(rev * jnp.sqrt(inv_m), block)
+    fwd = prop - value - 0.5 * s2 * m_apply(g_old)   # = s L eps
+    rev = value - prop - 0.5 * s2 * m_apply(g_new)
+    if full:
+        log_q_fwd = -_sq_norm_per_unit(_whiten(fwd, pstd), block)
+        log_q_rev = -_sq_norm_per_unit(_whiten(rev, pstd), block)
+    else:
+        inv_sqrt_m = 1.0 if pstd is None else 1.0 / pstd
+        log_q_fwd = -_sq_norm_per_unit(fwd * inv_sqrt_m, block)
+        log_q_rev = -_sq_norm_per_unit(rev * inv_sqrt_m, block)
     s2_cu = jnp.exp(2.0 * log_scale)
     log_alpha = (
         d_new - d_old + (log_q_rev - log_q_fwd) / (2.0 * s2_cu)

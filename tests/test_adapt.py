@@ -145,3 +145,46 @@ def test_diag_precond_learns_anisotropy():
     # and the wide coordinate should actually mix
     sd2 = float(jnp.std(post.draws["x"][..., 1]))
     assert 6.0 < sd2 < 14.0
+
+
+def test_full_precond_mala_correlated_target():
+    """MALA with the full Haario mass matrix on N(0, S), corr 0.9: the
+    asymmetric correction with the M^{-1}-weighted norms (batched
+    triangular solve) must keep the target exact — wrong q-terms bias the
+    narrow direction's variance — and the narrow direction must mix."""
+    import numpy as np
+
+    rho = 0.9
+    cov = jnp.array([[1.0, rho], [rho, 1.0]])
+    prec = jnp.linalg.inv(cov)
+
+    def cond(name, value, state, data):
+        q = jnp.einsum("...i,ij,...j->...", value, prec, value)
+        return -0.5 * q
+
+    model = ModelSpec(
+        name="corr2d_mala",
+        blocks=(Block("x", (2,), init_scale=1.0),),
+        cond_logdensity=cond,
+        joint_logdensity=lambda s, d: cond("x", s["x"], s, d),
+        init_state=lambda key, data, chains: {
+            "x": jax.random.normal(key, (chains, 2))
+        },
+    )
+    cfg = SamplerConfig(
+        kernel=KernelConfig(algorithm="mala", precond="full"),
+        run=RunConfig(
+            chains=64, warmup=3000, draws=1500, seed=8,
+            log_every_segment=False,
+        ),
+    )
+    post = sample(model, None, cfg)
+    acc = float(jnp.mean(post.accept_rates["x"]))
+    assert abs(acc - 0.574) < 0.10, acc
+    x = np.asarray(post.draws["x"]).reshape(-1, 2)
+    emp = np.cov(x.T)
+    # posterior covariance must match the target (MC tolerance)
+    np.testing.assert_allclose(emp, np.asarray(cov), atol=0.12)
+    diff_sd = float(np.std(x[:, 0] - x[:, 1]))
+    expect = np.sqrt(2 * (1 - rho))
+    assert 0.6 * expect < diff_sd < 1.6 * expect, (diff_sd, expect)
