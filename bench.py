@@ -51,8 +51,14 @@ def main() -> int:
     # (larger moves at the 0.574 target; one fused likelihood+gradient
     # evaluation per sweep).
     algorithm = os.environ.get("NESTMC_BENCH_ALGORITHM", "mala")
+    # Round-2 A/B on this config at C=256 (benchmarks/judged_ab.py):
+    # conjugate invgamma tau beats halfnormal+MH by 33% min-ESS/s (the tau
+    # block was the ESS floor) at equal sweep cost; the fused single-kernel
+    # MALA step adds ~2.5% sweeps/s. Both on by default, env-overridable.
+    tau_prior = os.environ.get("NESTMC_BENCH_TAU_PRIOR", "invgamma")
+    fused = os.environ.get("NESTMC_BENCH_FUSED", "1") == "1"
     cfg = SamplerConfig(
-        kernel=KernelConfig(algorithm=algorithm),
+        kernel=KernelConfig(algorithm=algorithm, fused_accept=fused),
         run=RunConfig(
             chains=chains_per_chip * n_dev,
             warmup=warmup,
@@ -68,7 +74,7 @@ def main() -> int:
         ),
         sharding=ShardingConfig(chain_shards=n_dev),
     )
-    model = make_hier_logistic(data)
+    model = make_hier_logistic(data, tau_prior=tau_prior)
 
     t0 = time.perf_counter()
     post = sample(model, data, cfg)

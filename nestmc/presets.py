@@ -63,13 +63,15 @@ def _hier_logistic_1k(seed: int, scale: float):
     """The judged-metric model (BASELINE.json:2,5): 1k groups, many chains.
 
     MALA kernel (fused Pallas logp+grad + carried gradient cache): measured
-    6.3x the ESS/s of adapted RW-MH on this model at equal sweep cost."""
+    6.3x the ESS/s of adapted RW-MH on this model at equal sweep cost.
+    Conjugate invgamma tau: +33% min-ESS/s over halfnormal+MH (round-2
+    A/B, benchmarks/judged_ab.py); fused single-kernel MALA step on."""
     data, _ = synth_logistic(
         jax.random.key(seed + 2000), G=1000, n=50, p=4
     )
-    model = make_hier_logistic(data)
+    model = make_hier_logistic(data, tau_prior="invgamma")
     cfg = SamplerConfig(
-        kernel=KernelConfig(algorithm="mala"),
+        kernel=KernelConfig(algorithm="mala", fused_accept=True),
         run=RunConfig(
             chains=256,
             warmup=max(50, int(1000 * scale)),
