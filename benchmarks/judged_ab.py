@@ -1,5 +1,7 @@
 """A/B on the judged config (1k-group hier logistic, MALA): fused MALA
-step kernel on/off x tau prior (halfnormal MH+ASIS vs invgamma conjugate).
+step kernel on/off x tau prior (halfnormal MH+ASIS vs invgamma conjugate),
+plus the whole-sweep fused path ('sweep-invgamma': 3 Pallas kernels +
+O(C p) jnp over a chains-minor carry, models/hier_logistic_fused.py).
 
     /opt/venv/bin/python -m benchmarks.judged_ab [--chains 256] [--draws 2048]
 
@@ -38,7 +40,8 @@ def main() -> int:
         model = make_hier_logistic(data, tau_prior=tau_s)
         cfg = SamplerConfig(
             kernel=KernelConfig(
-                algorithm="mala", fused_accept=(fused_s == "fused")
+                algorithm="mala", fused_accept=(fused_s == "fused"),
+                fused_sweep=(fused_s == "sweep"),
             ),
             run=RunConfig(
                 chains=args.chains, warmup=args.warmup, draws=args.draws,

@@ -32,6 +32,10 @@ class KernelConfig:
     algorithm: str = "rwmh"
     fused_accept: bool = False  # use single-kernel propose+lik+accept
     # updates where the model provides one (Pallas; own PRNG stream)
+    fused_sweep: bool = False  # use the model's whole-sweep fused
+    # implementation where it provides one (ModelSpec.fused_sweep): the
+    # entire Gibbs sweep as a few Pallas kernels over a chains-minor
+    # carry (own PRNG stream for the proposal noise, like fused_accept)
     target_accept: float | None = None
     adapt_c: float = 1.0
     adapt_t0: float = 10.0

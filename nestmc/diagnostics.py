@@ -203,16 +203,27 @@ def streaming_rhat_update(acc: dict, position: dict, idx, half_len: int):
     return out
 
 
-def streaming_rhat_finalize(acc: dict) -> dict:
-    """{name: split R-hat array over the block's trailing dims}."""
+def streaming_rhat_finalize(acc: dict, chain_axes: dict | None = None) -> dict:
+    """{name: split R-hat array over the block's non-chain dims}.
+
+    ``chain_axes``: {name: axis of the CHAINS dimension in the original
+    position leaf} (default 0 everywhere). The Welford update is fully
+    elementwise so accumulation is layout-agnostic; only this pooling step
+    needs to know which axis holds chains — fused-sweep carries keep
+    chains minor (e.g. beta (G, p, C) -> chain axis 2).
+    """
     out = {}
     for name, (count, mean, m2) in acc.items():
+        ca = 0 if chain_axes is None else chain_axes.get(name, 0)
+        cdim = 0 if ca == 0 else ca + 1  # the half axis was inserted at 1
         n = jnp.maximum(count[0], 2.0)  # draws per half-sequence
-        C = mean.shape[0]
-        seq_mean = mean.reshape((2 * C,) + mean.shape[2:])
-        seq_var = (m2 / jnp.maximum(
-            count.reshape((1, 2) + (1,) * (mean.ndim - 2)) - 1.0, 1.0
-        )).reshape((2 * C,) + mean.shape[2:])
+        mean_hc = jnp.moveaxis(mean, (1, cdim), (0, 1))  # (2, C, ...)
+        m2_hc = jnp.moveaxis(m2, (1, cdim), (0, 1))
+        seq_mean = mean_hc.reshape((-1,) + mean_hc.shape[2:])
+        cnt = count.reshape((2,) + (1,) * (mean_hc.ndim - 1))
+        seq_var = (m2_hc / jnp.maximum(cnt - 1.0, 1.0)).reshape(
+            seq_mean.shape
+        )
         w = jnp.mean(seq_var, axis=0)
         b = n * jnp.var(seq_mean, axis=0, ddof=1)
         var_plus = (n - 1.0) / n * w + b / n

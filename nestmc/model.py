@@ -170,6 +170,12 @@ class ModelSpec:
     # current value across sweeps — one likelihood+grad evaluation per
     # update instead of two.
     cond_cached_grad: dict = dataclasses.field(default_factory=dict)
+    # Optional whole-sweep fused implementation: fn(cfg, data) -> impl |
+    # None, where impl provides prep_data/to_fused/from_fused/sweep/collect
+    # over a model-owned carry layout (see models/hier_logistic_fused.py).
+    # Engaged by the engine when KernelConfig.fused_sweep is set and the
+    # factory accepts the config; None falls back to the op-by-op sweep.
+    fused_sweep: "Callable | None" = None
 
     def block(self, name: str) -> Block:
         for b in self.blocks:

@@ -419,6 +419,17 @@ def make_hier_logistic(
             sizes=data.sizes, x=data.x, extra=data.extra,
         )
 
+    fused_sweep = None
+    if conj_tau and not isinstance(data, RaggedData):
+        from nestmc.models.hier_logistic_fused import (
+            make_fused_sweep_factory,
+        )
+
+        fused_sweep = make_fused_sweep_factory(
+            G, p, prior_mu_scale, tau_ig_shape, tau_ig_scale,
+            _tau_logprior, log_scale_guard,
+        )
+
     return ModelSpec(
         name="hier_logistic",
         blocks=(
@@ -469,6 +480,7 @@ def make_hier_logistic(
         cond_cached_grad={
             "beta": (lik_value_and_grad, gprior_value_and_grad),
         },
+        fused_sweep=fused_sweep,
     )
 
 
