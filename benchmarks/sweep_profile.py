@@ -1,0 +1,138 @@
+"""Per-stage timing of the fused sweep vs the op-by-op sweep on the
+judged shape (C=256, G=1000, n=50, p=4 by default).
+
+    /opt/venv/bin/python -m benchmarks.sweep_profile [--chains 256]
+
+Times, with scalar-host-read syncs (the axon tunnel's block_until_ready
+can return early):
+  - one frozen unfused sweep, one frozen fused sweep (scan of K for
+    per-sweep amortization)
+  - each fused kernel in isolation (mala+suff, asis eval, asis select)
+so the next op-count/fusion decision is driven by measured stage costs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _timed(fn, *args, reps=3, scan_len=64):
+    """Median seconds per inner iteration of jitted scan(fn, length=K)."""
+    import jax
+
+    @jax.jit
+    def run(args):
+        def body(c, _):
+            return fn(*c), None
+        out, _ = jax.lax.scan(body, args, None, length=scan_len)
+        return out
+
+    out = run(args)  # compile + warm
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = run(args)
+        # scalar host read = reliable sync on axon
+        float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        times.append((time.perf_counter() - t0) / scan_len)
+    return sorted(times)[len(times) // 2]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chains", type=int, default=256)
+    ap.add_argument("--groups", type=int, default=1000)
+    ap.add_argument("--obs", type=int, default=50)
+    ap.add_argument("--p", type=int, default=4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from nestmc.config import KernelConfig, RunConfig, SamplerConfig
+    from nestmc.kernels.gibbs import make_sweep
+    from nestmc.kernels.state import init_kernel_state
+    from nestmc.models import make_hier_logistic, synth_logistic
+    from nestmc.ops.pallas.sweep_logistic import (
+        asis_eval_t,
+        asis_select_t,
+        fused_mala_suff_step_t,
+    )
+
+    C, G = args.chains, args.groups
+    data, _ = synth_logistic(jax.random.key(2000), G=G, n=args.obs,
+                             p=args.p)
+    model = make_hier_logistic(data, tau_prior="invgamma")
+    res = {"chains": C, "groups": G}
+
+    # ---- whole sweeps ----
+    for name, kcfg in [
+        ("unfused", KernelConfig(algorithm="mala")),
+        ("fused_accept", KernelConfig(algorithm="mala",
+                                      fused_accept=True)),
+        ("fused_sweep", KernelConfig(algorithm="mala", fused_sweep=True)),
+    ]:
+        cfg = SamplerConfig(kernel=kcfg, run=RunConfig(chains=C, seed=0))
+        state = init_kernel_state(model, cfg, jax.random.key(0), data)
+        if name == "fused_sweep":
+            impl = model.fused_sweep(cfg, data)
+            if impl is None:
+                res[name] = None
+                continue
+            fstate = jax.jit(impl.to_fused)(state)
+            fdata = jax.jit(impl.prep_data)(data)
+            sec = _timed(
+                lambda s: impl.sweep(s, fdata, adapt=False), fstate
+            )
+        else:
+            sweep = make_sweep(model, cfg)
+            sec = _timed(lambda s: sweep(s, data, adapt=False), state)
+        res[name] = round(sec * 1e6, 1)
+
+    # ---- fused stages in isolation ----
+    cfg = SamplerConfig(kernel=KernelConfig(algorithm="mala",
+                                            fused_sweep=True),
+                        run=RunConfig(chains=C, seed=0))
+    impl = model.fused_sweep(cfg, data)
+    if impl is not None:
+        state = init_kernel_state(model, cfg, jax.random.key(0), data)
+        fs = jax.jit(impl.to_fused)(state)
+        fd = jax.jit(impl.prep_data)(data)
+        beta = fs.position["beta"]
+        v, g = fs.cache["beta"]["v"], fs.cache["beta"]["g"]
+        ls = fs.log_scale["beta"]
+        mu, lt = fs.position["mu"], fs.position["log_tau"]
+        itau2 = jnp.exp(-2.0 * lt)
+        ratio = jnp.exp(0.01 * jnp.ones_like(lt))
+        key = jax.random.key(1)
+
+        def k1(b):
+            return fused_mala_suff_step_t(
+                key, b, v, g, ls, mu, itau2, fd.x, fd.y, fd.mask
+            )[0]
+
+        def k2(b):
+            return asis_eval_t(b, v, mu, ratio, fd.x, fd.y, fd.mask)[0]
+
+        lik_new, g_new, _ = asis_eval_t(beta, v, mu, ratio, fd.x, fd.y,
+                                        fd.mask)
+        acc = jnp.ones((1, C), jnp.float32)
+
+        def k3(b):
+            return asis_select_t(b, v, g, lik_new, g_new, mu, ratio, acc,
+                                 fd.mask)[0]
+
+        for name, fn in [("k_mala_suff", k1), ("k_asis_eval", k2),
+                         ("k_asis_select", k3)]:
+            res[name] = round(_timed(fn, beta) * 1e6, 1)
+
+    res["unit"] = "us_per_sweep_or_call"
+    print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

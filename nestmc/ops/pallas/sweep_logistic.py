@@ -178,14 +178,12 @@ def _make_mala_suff_kernel(p: int, external_noise: bool):
     alpha = jnp.exp(jnp.minimum(log_alpha, 0.0))
     out_alpha_ref[:] = jnp.where(jnp.isnan(log_alpha), 0.0, alpha) * valid
 
-    # suff stats of the POST-update beta (pad rows already zeroed)
-    s1_ref[:] = s1_ref[:] + jnp.stack(
-        [jnp.sum(new_beta[:, k, :], axis=0) for k in range(p)], axis=0
-    )
-    s2_ref[:] = s2_ref[:] + jnp.stack(
-        [jnp.sum(new_beta[:, k, :] ** 2, axis=0) for k in range(p)],
-        axis=0,
-    )
+    # suff stats of the POST-update beta (pad rows already zeroed);
+    # reduce the 3D tile over its leading dim directly — a 2D slice
+    # [:, k, :] has a sublane-offset layout Mosaic refuses to ADD-reduce
+    # ("input layout must have zero offsets over dimensions being reduced")
+    s1_ref[:] = s1_ref[:] + jnp.sum(new_beta, axis=0)
+    s2_ref[:] = s2_ref[:] + jnp.sum(new_beta * new_beta, axis=0)
 
   return _kernel
 
