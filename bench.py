@@ -57,8 +57,10 @@ def main() -> int:
     # MALA step adds ~2.5% sweeps/s. Both on by default, env-overridable.
     tau_prior = os.environ.get("NESTMC_BENCH_TAU_PRIOR", "invgamma")
     fused = os.environ.get("NESTMC_BENCH_FUSED", "1") == "1"
+    fused_sweep = os.environ.get("NESTMC_BENCH_FUSED_SWEEP", "0") == "1"
     cfg = SamplerConfig(
-        kernel=KernelConfig(algorithm=algorithm, fused_accept=fused),
+        kernel=KernelConfig(algorithm=algorithm, fused_accept=fused,
+                            fused_sweep=fused_sweep),
         run=RunConfig(
             chains=chains_per_chip * n_dev,
             warmup=warmup,

@@ -18,23 +18,26 @@ import json
 import time
 
 
-def _timed(fn, *args, reps=3, scan_len=64):
-    """Median seconds per inner iteration of jitted scan(fn, length=K)."""
+def _timed(fn, init, reps=3, scan_len=64):
+    """Median seconds per inner iteration of jitted scan(fn) from init.
+
+    fn: carry -> carry (single value; wrap multi-output kernels so the
+    carry pytree is stable across iterations)."""
     import jax
 
     @jax.jit
-    def run(args):
+    def run(c0):
         def body(c, _):
-            return fn(*c), None
-        out, _ = jax.lax.scan(body, args, None, length=scan_len)
+            return fn(c), None
+        out, _ = jax.lax.scan(body, c0, None, length=scan_len)
         return out
 
-    out = run(args)  # compile + warm
+    out = run(init)  # compile + warm
     jax.block_until_ready(out)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = run(args)
+        out = run(init)
         # scalar host read = reliable sync on axon
         float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
         times.append((time.perf_counter() - t0) / scan_len)
@@ -128,6 +131,25 @@ def main() -> int:
         for name, fn in [("k_mala_suff", k1), ("k_asis_eval", k2),
                          ("k_asis_select", k3)]:
             res[name] = round(_timed(fn, beta) * 1e6, 1)
+
+        # the round-1 kernel (canonical layout, transposes inside) for
+        # comparison: isolates what the layout change buys per call
+        from nestmc.ops.pallas.mala_accept import fused_mala_logistic_step
+
+        beta_c = state.position["beta"]
+        v_c, g_c = (state.cache["beta"]["v"], state.cache["beta"]["g"])
+        ls_c = state.log_scale["beta"]
+        mu_c, lt_c = state.position["mu"], state.position["log_tau"]
+
+        def k_old(b):
+            return fused_mala_logistic_step(
+                key, b, v_c, g_c, ls_c, mu_c, lt_c,
+                data.x, data.y, data.mask,
+            )[0]
+
+        res["k_mala_old_transposing"] = round(
+            _timed(k_old, beta_c) * 1e6, 1
+        )
 
     res["unit"] = "us_per_sweep_or_call"
     print(json.dumps(res))

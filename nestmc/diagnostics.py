@@ -257,3 +257,53 @@ def diagnose(draws_dict: dict) -> dict:
             "sd": jnp.std(pooled, axis=0, ddof=1),
         }
     return out
+
+
+def diagnose_chunked(draws_dict: dict, budget_bytes: int = 2 << 30) -> dict:
+    """Memory-bounded :func:`diagnose` (SURVEY.md section 7.3 item 1: keep
+    the FFT over the draws axis memory-bounded — chunk over params).
+
+    The FFT autocovariance + rank normalization temporaries cost roughly
+    24 f32 copies of a (2C, D)-shaped buffer PER SCALAR (rfft/irfft pads to
+    the next power of two and runs complex64); at 512 chains x 16k draws
+    that is ~0.8 GB per scalar, so diagnosing a whole block at once OOMs a
+    16 GB chip. This wrapper flattens each block's trailing dims, runs
+    :func:`diagnose` over param chunks sized to ``budget_bytes``, and
+    stitches the results back — one extra (identically-shaped) compile per
+    chunk, zero change in values.
+    """
+    import math
+
+    out = {}
+    for name, x in draws_dict.items():
+        x = jnp.asarray(x)
+        C, D = x.shape[0], x.shape[1]
+        tail = x.shape[2:]
+        P = int(np_prod(tail))
+        # padded-FFT working set per scalar (complex64 + argsort ranks)
+        size = 1 << max(1, math.ceil(math.log2(max(2 * (D // 2), 2))))
+        per_scalar = 24 * 2 * C * size * 4
+        chunk = max(1, min(P, budget_bytes // max(per_scalar, 1)))
+        if chunk >= P:
+            out[name] = diagnose({name: x})[name]
+            continue
+        flat = x.reshape(C, D, P)
+        jdiag = jax.jit(diagnose)  # shared cache: chunks share shapes
+        parts = [
+            jdiag({name: flat[:, :, i: i + chunk]})[name]
+            for i in range(0, P, chunk)
+        ]
+        out[name] = {
+            k: jnp.concatenate(
+                [p[k] for p in parts], axis=0
+            ).reshape(tail)
+            for k in parts[0]
+        }
+    return out
+
+
+def np_prod(t):
+    r = 1
+    for v in t:
+        r *= int(v)
+    return r

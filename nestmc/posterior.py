@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nestmc.diagnostics import diagnose
+from nestmc.diagnostics import diagnose  # noqa: F401  (public re-export)
 
 
 @dataclass
@@ -41,10 +41,13 @@ class Posterior:
 
     def diagnostics(self) -> dict:
         if self._diag_cache is None:
+            from nestmc.diagnostics import diagnose_chunked
             from nestmc.utils.retry import with_transient_retry
 
+            # chunked over params: bounds the FFT/rank-normalize temps at
+            # big (chains x draws) so diagnosing never OOMs the chip
             self._diag_cache = with_transient_retry(
-                jax.jit(diagnose), self.draws
+                diagnose_chunked, self.draws
             )
         return self._diag_cache
 

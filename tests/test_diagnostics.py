@@ -195,3 +195,23 @@ def test_ess_hand_case_geyer_pairing_and_floor():
     np.testing.assert_allclose(
         float(ess(x, split=False)), 8.0 * np.log10(8.0), rtol=1e-5
     )
+
+
+def test_diagnose_chunked_matches_direct():
+    """diagnose_chunked must produce identical values to diagnose while
+    bounding per-call FFT memory (forced tiny budget -> many chunks)."""
+    import jax
+
+    from nestmc.diagnostics import diagnose, diagnose_chunked
+
+    x = jax.random.normal(jax.random.key(3), (4, 64, 5, 3))
+    y = jax.random.normal(jax.random.key(4), (4, 64))
+    direct = diagnose({"a": x, "b": y})
+    chunked = diagnose_chunked({"a": x, "b": y}, budget_bytes=1)
+    for name in direct:
+        for k in direct[name]:
+            np.testing.assert_allclose(
+                np.asarray(chunked[name][k]), np.asarray(direct[name][k]),
+                rtol=2e-5, atol=2e-5,
+            )
+            assert chunked[name][k].shape == direct[name][k].shape
