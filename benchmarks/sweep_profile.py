@@ -94,6 +94,7 @@ def main() -> int:
             sweep = make_sweep(model, cfg)
             sec = _timed(lambda s: sweep(s, data, adapt=False), state)
         res[name] = round(sec * 1e6, 1)
+        print(json.dumps({name: res[name]}), flush=True)
 
     # ---- fused stages in isolation ----
     cfg = SamplerConfig(kernel=KernelConfig(algorithm="mala",
@@ -118,7 +119,11 @@ def main() -> int:
             )[0]
 
         def k2(b):
-            return asis_eval_t(b, v, mu, ratio, fd.x, fd.y, fd.mask)[0]
+            # carry must keep beta's shape; the zero-scaled grad add keeps
+            # the kernel in the dependency chain
+            lik, gnew, dsum = asis_eval_t(b, v, mu, ratio, fd.x, fd.y,
+                                          fd.mask)
+            return b + 0.0 * gnew
 
         lik_new, g_new, _ = asis_eval_t(beta, v, mu, ratio, fd.x, fd.y,
                                         fd.mask)
@@ -131,6 +136,32 @@ def main() -> int:
         for name, fn in [("k_mala_suff", k1), ("k_asis_eval", k2),
                          ("k_asis_select", k3)]:
             res[name] = round(_timed(fn, beta) * 1e6, 1)
+            print(json.dumps({name: res[name]}), flush=True)
+
+        # fixed pallas dispatch overhead: a copy-only kernel same grid
+        # shape as the select kernel — subtract from stage times to get
+        # true compute
+        from jax.experimental import pallas as pl
+
+        def _copy_kernel(b_ref, o_ref):
+            o_ref[:] = b_ref[:]
+
+        Gp, P, Cc = beta.shape
+        TCn = 256 if Cc % 256 == 0 else 128
+
+        def k_noop(b):
+            return pl.pallas_call(
+                _copy_kernel,
+                grid=(Gp // 64, Cc // TCn),
+                in_specs=[pl.BlockSpec((64, P, TCn),
+                                       lambda g, c: (g, 0, c))],
+                out_specs=pl.BlockSpec((64, P, TCn),
+                                       lambda g, c: (g, 0, c)),
+                out_shape=jax.ShapeDtypeStruct((Gp, P, Cc), jnp.float32),
+            )(b)
+
+        res["k_copy_only"] = round(_timed(k_noop, beta) * 1e6, 1)
+        print(json.dumps({"k_copy_only": res["k_copy_only"]}), flush=True)
 
         # the round-1 kernel (canonical layout, transposes inside) for
         # comparison: isolates what the layout change buys per call

@@ -184,22 +184,29 @@ def streaming_rhat_update(acc: dict, position: dict, idx, half_len: int):
     Draws [0, half_len) go to half 0, [half_len, 2*half_len) to half 1, and
     the odd leftover draw (idx == 2*half_len) is ignored — matching
     :func:`split_rhat`'s convention exactly.
+
+    Implementation: only the ACTIVE half's slice is read and written (a
+    dynamic-slice in-place update XLA performs without copying the carry),
+    instead of masked whole-array ops — the accumulators are 4x the size
+    of the position leaf, so this halves the streaming pass's HBM traffic
+    per draw (it shows up directly in bench sweeps/s with full_rhat on).
     """
     h = jnp.where(idx < half_len, 0, 1)
-    active = idx < 2 * half_len
-    onehot1d = jnp.where(
-        (jnp.arange(2) == h) & active, 1.0, 0.0
-    ).astype(jnp.float32)
+    active = jnp.where(idx < 2 * half_len, 1.0, 0.0).astype(jnp.float32)
     out = {}
     for name, (count, mean, m2) in acc.items():
-        x = position[name].astype(jnp.float32)[:, None]
-        onehot = onehot1d.reshape((1, 2) + (1,) * (mean.ndim - 2))
-        new_count = count + onehot1d
-        cnt = new_count.reshape((1, 2) + (1,) * (mean.ndim - 2))
-        delta = x - mean
-        new_mean = mean + onehot * delta / jnp.maximum(cnt, 1.0)
-        new_m2 = m2 + onehot * delta * (x - new_mean)
-        out[name] = (new_count, new_mean, new_m2)
+        x = position[name].astype(jnp.float32)
+        mean_h = jax.lax.dynamic_index_in_dim(mean, h, 1, keepdims=False)
+        m2_h = jax.lax.dynamic_index_in_dim(m2, h, 1, keepdims=False)
+        cnt_h = count[h] + active
+        delta = x - mean_h
+        new_mean_h = mean_h + active * delta / jnp.maximum(cnt_h, 1.0)
+        new_m2_h = m2_h + active * delta * (x - new_mean_h)
+        out[name] = (
+            count.at[h].add(active),
+            jax.lax.dynamic_update_index_in_dim(mean, new_mean_h, h, 1),
+            jax.lax.dynamic_update_index_in_dim(m2, new_m2_h, h, 1),
+        )
     return out
 
 

@@ -98,6 +98,30 @@ def _eta_vpu(x, b, p: int):
     return eta
 
 
+def _lik_terms(eta, y, m, need_resid: bool = True):
+    """Masked Bernoulli-logit log-lik terms (and residuals) from ONE
+    exp + ONE log1p.
+
+    nn.softplus lowers through logaddexp (exp + log1p) and nn.sigmoid
+    through its own transcendental; evaluating both of them per element
+    costs a third transcendental pass the VPU does not need: with
+    e = exp(-|eta|),
+        softplus(eta) = max(eta, 0) + log1p(e)
+        sigmoid(eta)  = 1/(1+e)        (eta >= 0)
+                      = e/(1+e)        (eta < 0)
+    The hot kernels are transcendental-bound (BASELINE.md roofline), so
+    this is a direct kernel-time saving wherever the residual is needed.
+    """
+    e = jnp.exp(-jnp.abs(eta))
+    sp = jnp.maximum(eta, 0.0) + jnp.log1p(e)
+    ll = (y * eta - sp) * m
+    if not need_resid:
+        return ll, None
+    inv = 1.0 / (1.0 + e)
+    sig = jnp.where(eta >= 0.0, inv, e * inv)
+    return ll, (y - sig) * m
+
+
 def _make_loglik_kernel(p: int):
     def _loglik_kernel(x_ref, y_ref, mask_ref, beta_ref, out_ref):
         # x (TG, n, p); y, mask (TG, n); beta (TG, p, TC); out (TG, TC)
@@ -152,9 +176,8 @@ def _make_logp_grad_kernel(p: int):
         eta = _eta_vpu(x, beta_ref[:], p)  # (TG, n, TC)
         y = y_ref[:][:, :, None]
         m = mask_ref[:][:, :, None]
-        ll = (y * eta - nn.softplus(eta)) * m
+        ll, resid = _lik_terms(eta, y, m)
         out_ref[:] = jnp.sum(ll, axis=1)
-        resid = (y - nn.sigmoid(eta)) * m  # (TG, n, TC)
         for k in range(p):  # (TG, p, TC) via p VPU reductions
             gout_ref[:, k, :] = jnp.sum(
                 x[:, :, k][:, :, None] * resid, axis=1

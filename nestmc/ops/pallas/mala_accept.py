@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from nestmc.ops.pallas.loglik_logistic import (
     _eta_vpu,
     _group_tile,
+    _lik_terms,
     _pad_groups,
     _pick_tile,
     _r8,
@@ -84,8 +85,8 @@ def _make_fused_mala_kernel(p: int, external_noise: bool):
     eta = _eta_vpu(x, prop, p)                            # (TG, n, TC)
     y = y_ref[:][:, :, None]
     m = mask_ref[:][:, :, None]
-    lik_prop = jnp.sum((y * eta - nn.softplus(eta)) * m, axis=1)
-    resid = (y - nn.sigmoid(eta)) * m                     # (TG, n, TC)
+    ll, resid = _lik_terms(eta, y, m)     # one exp+log1p for both terms
+    lik_prop = jnp.sum(ll, axis=1)
     gll = [
         jnp.sum(x[:, :, k][:, :, None] * resid, axis=1)   # (TG, TC)
         for k in range(p)

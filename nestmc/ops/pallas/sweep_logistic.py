@@ -53,6 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 from nestmc.ops.pallas.loglik_logistic import (
     _eta_vpu,
     _group_tile,
+    _lik_terms,
     _pick_tile,
     _r8,
     _r128,
@@ -141,8 +142,8 @@ def _make_mala_suff_kernel(p: int, external_noise: bool):
     eta = _eta_vpu(x, prop, p)                            # (TG, n, TC)
     y = y_ref[:][:, :, None]
     m = m2d[:, :, None]
-    lik_prop = jnp.sum((y * eta - nn.softplus(eta)) * m, axis=1)
-    resid = (y - nn.sigmoid(eta)) * m                     # (TG, n, TC)
+    ll, resid = _lik_terms(eta, y, m)     # one exp+log1p for both terms
+    lik_prop = jnp.sum(ll, axis=1)
     gll = [
         jnp.sum(x[:, :, k][:, :, None] * resid, axis=1)   # (TG, TC)
         for k in range(p)
@@ -296,8 +297,8 @@ def _make_asis_eval_kernel(p: int):
     eta = _eta_vpu(x, bnew, p)
     y = y_ref[:][:, :, None]
     m = m2d[:, :, None]
-    lik_new = jnp.sum((y * eta - nn.softplus(eta)) * m, axis=1)
-    resid = (y - nn.sigmoid(eta)) * m
+    ll, resid = _lik_terms(eta, y, m)     # one exp+log1p for both terms
+    lik_new = jnp.sum(ll, axis=1)
     valid = _valid_from_mask(m2d)                         # (TG, 1)
     lik_new = lik_new * valid
     out_lik_ref[:] = lik_new

@@ -225,7 +225,8 @@ def test_tpu_statistical_equivalence():
         mf = np.asarray(jnp.mean(post_f.draws[k], axis=(0, 1)))
         mu_ = np.asarray(jnp.mean(post_u.draws[k], axis=(0, 1)))
         sf = np.asarray(jnp.std(post_f.draws[k], axis=(0, 1)))
-        np.testing.assert_allclose(mf, mu_, atol=4 * sf / 30 + 0.02)
+        tol = 4.0 * sf / 30.0 + 0.02  # ~4 z of a crude ESS guess
+        assert np.all(np.abs(mf - mu_) < tol), (k, mf, mu_, tol)
     af = float(np.mean(np.asarray(post_f.accept_rates["beta"])))
     au = float(np.mean(np.asarray(post_u.accept_rates["beta"])))
     assert abs(af - au) < 0.05
