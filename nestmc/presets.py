@@ -94,11 +94,14 @@ def _nested_poisson_1k(seed: int, scale: float):
     # inverse-gamma tau priors -> exact conjugate Gibbs draws for both
     # scale levels (measured: 7x the tau ESS of half-normal + MH)
     model = make_nested_poisson(data, tau_prior="invgamma")
+    # 16384 draws: the converged schedule (worst split R-hat 1.0090,
+    # artifact nested-poisson-1k_2349409; log_tau_g is the slowest mode
+    # and R-hat scales ~1/draws). Sampling is only ~70 s at 512 chains.
     cfg = SamplerConfig(
         run=RunConfig(
             chains=512 if scale >= 1.0 else 32,
             warmup=max(50, int(1000 * scale)),
-            draws=max(50, int(2048 * scale)),
+            draws=max(50, int(16384 * scale)),
             seed=seed,
             segment_size=1024,
             collect={
