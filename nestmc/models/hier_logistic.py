@@ -51,13 +51,19 @@ def _resolve_loglik(data, impl: str):
         on_tpu = jax.default_backend() == "tpu"
         impl = ("bucket" if ragged else "pallas") if on_tpu else "jnp"
     if impl == "pallas" and not ragged:
+        import numpy as np
+
         from nestmc.ops.pallas.loglik_logistic import (
             logistic_loglik_padded_pallas,
         )
 
+        # static at model build: fully-dense data lets the kernels skip
+        # the per-element mask multiplies (they are VPU-bound)
+        dense = bool(np.asarray(data.mask).all())
+
         def lik(beta, data):
             return logistic_loglik_padded_pallas(
-                beta, data.x, data.y, data.mask
+                beta, data.x, data.y, data.mask, dense=dense
             )
         return lik, impl, None
     if ragged:
@@ -133,6 +139,12 @@ def make_hier_logistic(
         raise ValueError(tau_prior)
     conj_tau = tau_prior == "invgamma"
     lik_fn, chosen, seg_layout = _resolve_loglik(data, loglik_impl)
+    if isinstance(data, RaggedData):
+        _dense_data = False
+    else:
+        import numpy as np
+
+        _dense_data = bool(np.asarray(data.mask).all())
 
     _LOG_2PI = 1.8378770664093453
 
@@ -226,12 +238,15 @@ def make_hier_logistic(
                 value, data.x, data.y, data.segment_ids, data.num_groups
             )
         if chosen == "pallas":
+            import numpy as np
+
             from nestmc.ops.pallas.loglik_logistic import (
                 logistic_logp_grad_pallas,
             )
 
             return logistic_logp_grad_pallas(
-                value, data.x, data.y, data.mask
+                value, data.x, data.y, data.mask,
+                dense=bool(np.asarray(data.mask).all()),
             )
         out, vjp = jax.vjp(lambda b: lik_fn(b, data), value)
         (g,) = vjp(jnp.ones_like(out))
@@ -284,7 +299,7 @@ def make_hier_logistic(
         nb, nv, ng, alpha = fused_mala_logistic_step(
             key, position["beta"], v, g, log_scale,
             position["mu"], position["log_tau"],
-            data.x, data.y, data.mask,
+            data.x, data.y, data.mask, dense=_dense_data,
         )
         return nb, {"v": nv, "g": ng}, alpha
 

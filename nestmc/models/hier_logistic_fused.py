@@ -56,7 +56,8 @@ class FusedLogisticSweep:
     def __init__(self, cfg: SamplerConfig, G: int, p: int,
                  prior_mu_scale: float, tau_ig_shape: float,
                  tau_ig_scale: float, tau_logprior, guard,
-                 interpret: bool = False, external_noise: bool = False):
+                 interpret: bool = False, external_noise: bool = False,
+                 dense: bool = False):
         self.cfg = cfg
         self.G, self.p = G, p
         self.Gp = padded_num_groups(G)
@@ -66,6 +67,10 @@ class FusedLogisticSweep:
         self._tau_logprior = tau_logprior
         self._guard = guard
         self.interpret = interpret
+        # dense: the pre-pad data mask is all ones, so the obs-pass
+        # kernels skip per-element mask multiplies (pad rows still gated
+        # by the mask-derived validity)
+        self.dense = dense
         # external_noise: derive the MALA stage's noise from the SAME
         # threefry keys as the unfused kernels/mala.py path and feed it to
         # the kernel as operands — the exact-parity test mode (and the
@@ -205,7 +210,7 @@ class FusedLogisticSweep:
         beta, v, g, alpha_b, s1, s2 = fused_mala_suff_step_t(
             kr, beta, v, g, ls["beta"], mu, itau2,
             data.x, data.y, data.mask,
-            interpret=self.interpret, noise=noise,
+            interpret=self.interpret, noise=noise, dense=self.dense,
         )
         acc_sum["beta"] = acc_sum["beta"] + alpha_b
         if adapt:
@@ -243,7 +248,7 @@ class FusedLogisticSweep:
         ratio = jnp.exp(lt_prop - lt)                          # (p, C)
         lik_new, g_new, dsum = asis_eval_t(
             beta, v, mu, ratio, data.x, data.y, data.mask,
-            interpret=self.interpret,
+            interpret=self.interpret, dense=self.dense,
         )
         prior_delta = jnp.sum(
             self._tau_logprior(lt_prop) + self._guard(lt_prop)
@@ -312,10 +317,13 @@ def make_fused_sweep_factory(G, p, prior_mu_scale, tau_ig_shape,
             name not in ("beta", "mu", "log_tau") for name in collect
         ):
             return None
+        import numpy as np
+
         return FusedLogisticSweep(
             cfg, G, p, prior_mu_scale, tau_ig_shape, tau_ig_scale,
             tau_logprior, guard,
             interpret=interpret, external_noise=external_noise,
+            dense=bool(np.asarray(data.mask).all()),
         )
 
     return factory

@@ -111,31 +111,54 @@ def _lik_terms(eta, y, m, need_resid: bool = True):
                       = e/(1+e)        (eta < 0)
     The hot kernels are transcendental-bound (BASELINE.md roofline), so
     this is a direct kernel-time saving wherever the residual is needed.
+
+    m=None skips the per-element mask multiplies — valid when the caller
+    KNOWS the data is fully dense (mask all ones on real rows) and gates
+    any padded-group rows on the summed outputs instead.
     """
     e = jnp.exp(-jnp.abs(eta))
     sp = jnp.maximum(eta, 0.0) + jnp.log1p(e)
-    ll = (y * eta - sp) * m
+    ll = y * eta - sp
+    if m is not None:
+        ll = ll * m
     if not need_resid:
         return ll, None
     inv = 1.0 / (1.0 + e)
     sig = jnp.where(eta >= 0.0, inv, e * inv)
-    return ll, (y - sig) * m
+    resid = y - sig
+    if m is not None:
+        resid = resid * m
+    return ll, resid
 
 
-def _make_loglik_kernel(p: int):
+def _make_loglik_kernel(p: int, dense: bool = False):
     def _loglik_kernel(x_ref, y_ref, mask_ref, beta_ref, out_ref):
         # x (TG, n, p); y, mask (TG, n); beta (TG, p, TC); out (TG, TC)
         eta = _eta_vpu(x_ref[:], beta_ref[:], p)  # (TG, n, TC)
         y = y_ref[:][:, :, None]
-        m = mask_ref[:][:, :, None]
-        ll = (y * eta - nn.softplus(eta)) * m
-        out_ref[:] = jnp.sum(ll, axis=1)
+        m = None if dense else mask_ref[:][:, :, None]
+        ll, _ = _lik_terms(eta, y, m, need_resid=False)
+        out = jnp.sum(ll, axis=1)
+        if dense:
+            # gate padded-group rows (all-zero mask) on the summed output
+            out = out * _dense_valid(mask_ref[:])
+        out_ref[:] = out
 
     return _loglik_kernel
 
 
-def logistic_loglik_padded_pallas(beta, x, y, mask, interpret: bool | None = None):
-    """Same contract as ops.loglik.logistic_loglik_padded: (C,G,p)->(C,G)."""
+def _dense_valid(m2d):
+    """(TG, 1) validity for dense-specialized kernels: a padded group row
+    has an all-zero mask."""
+    return (jnp.sum(m2d, axis=1, keepdims=True) > 0).astype(jnp.float32)
+
+
+def logistic_loglik_padded_pallas(beta, x, y, mask, interpret: bool | None = None,
+                                  dense: bool = False):
+    """Same contract as ops.loglik.logistic_loglik_padded: (C,G,p)->(C,G).
+
+    dense=True: caller statically knows mask is all-ones on real rows —
+    skips per-element mask multiplies (the kernels are VPU-bound)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     C, G, p = beta.shape
@@ -147,7 +170,7 @@ def logistic_loglik_padded_pallas(beta, x, y, mask, interpret: bool | None = Non
 
     grid = (Gp // TG, C // TC)
     out = pl.pallas_call(
-        _make_loglik_kernel(p),
+        _make_loglik_kernel(p, dense),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TG, n, p), lambda g, c: (g, 0, 0)),
@@ -168,29 +191,32 @@ def logistic_loglik_padded_pallas(beta, x, y, mask, interpret: bool | None = Non
     return out[:G].T  # (C, G)
 
 
-def _make_logp_grad_kernel(p: int):
+def _make_logp_grad_kernel(p: int, dense: bool = False):
     def _logp_grad_kernel(x_ref, y_ref, mask_ref, beta_ref,
                           out_ref, gout_ref):
         # grad[c,g,:] = sum_i mask * x[g,i,:] * (y - sigmoid(eta))
         x = x_ref[:]
         eta = _eta_vpu(x, beta_ref[:], p)  # (TG, n, TC)
         y = y_ref[:][:, :, None]
-        m = mask_ref[:][:, :, None]
+        m = None if dense else mask_ref[:][:, :, None]
         ll, resid = _lik_terms(eta, y, m)
-        out_ref[:] = jnp.sum(ll, axis=1)
+        valid = _dense_valid(mask_ref[:]) if dense else None
+        out = jnp.sum(ll, axis=1)
+        out_ref[:] = out * valid if dense else out
         for k in range(p):  # (TG, p, TC) via p VPU reductions
-            gout_ref[:, k, :] = jnp.sum(
-                x[:, :, k][:, :, None] * resid, axis=1
-            )
+            g = jnp.sum(x[:, :, k][:, :, None] * resid, axis=1)
+            gout_ref[:, k, :] = g * valid if dense else g
 
     return _logp_grad_kernel
 
 
-def logistic_logp_grad_pallas(beta, x, y, mask, interpret: bool | None = None):
+def logistic_logp_grad_pallas(beta, x, y, mask, interpret: bool | None = None,
+                              dense: bool = False):
     """Fused value+grad for MALA: ((C,G), (C,G,p)) in one pass over obs.
 
     Saves the second obs-axis pass (and eta rematerialization) that
-    jax.vjp of the jnp path would do (BASELINE.json:11).
+    jax.vjp of the jnp path would do (BASELINE.json:11). dense=True as in
+    :func:`logistic_loglik_padded_pallas`.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -204,7 +230,7 @@ def logistic_logp_grad_pallas(beta, x, y, mask, interpret: bool | None = None):
 
     grid = (Gp // TG, C // TC)
     out, gout = pl.pallas_call(
-        _make_logp_grad_kernel(p),
+        _make_logp_grad_kernel(p, dense),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TG, n, p), lambda g, c: (g, 0, 0)),

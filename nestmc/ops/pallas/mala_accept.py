@@ -44,7 +44,7 @@ from nestmc.ops.pallas.loglik_logistic import (
 from nestmc.ops.pallas.mh_accept import _normal, _uniform_01
 
 
-def _make_fused_mala_kernel(p: int, external_noise: bool):
+def _make_fused_mala_kernel(p: int, external_noise: bool, dense: bool = False):
   """external_noise: eps/log-u arrive as operands instead of the on-core
   PRNG — the testing path (CPU interpret mode has no prng_seed lowering),
   and it makes the kernel EXACTLY reproduce the unfused update given the
@@ -84,7 +84,7 @@ def _make_fused_mala_kernel(p: int, external_noise: bool):
     x = x_ref[:]
     eta = _eta_vpu(x, prop, p)                            # (TG, n, TC)
     y = y_ref[:][:, :, None]
-    m = mask_ref[:][:, :, None]
+    m = None if dense else mask_ref[:][:, :, None]
     ll, resid = _lik_terms(eta, y, m)     # one exp+log1p for both terms
     lik_prop = jnp.sum(ll, axis=1)
     gll = [
@@ -125,7 +125,7 @@ def _make_fused_mala_kernel(p: int, external_noise: bool):
 
 def fused_mala_logistic_step(
     key, beta, v_cache, g_cache, log_scale, mu, log_tau, x, y, mask,
-    interpret: bool | None = None, noise=None,
+    interpret: bool | None = None, noise=None, dense: bool = False,
 ):
     """One MALA update of the whole group block in a single kernel pass.
 
@@ -187,7 +187,7 @@ def fused_mala_logistic_step(
 
     grid = (Gp // TG, C // TC)
     new_bt, new_v, new_gt, alpha = pl.pallas_call(
-        _make_fused_mala_kernel(p, external_noise),
+        _make_fused_mala_kernel(p, external_noise, dense),
         grid=grid,
         in_specs=in_specs,
         out_specs=[

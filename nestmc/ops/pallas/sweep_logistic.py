@@ -96,7 +96,7 @@ def _valid_from_mask(m):
     return (jnp.sum(m, axis=1, keepdims=True) > 0).astype(jnp.float32)
 
 
-def _make_mala_suff_kernel(p: int, external_noise: bool):
+def _make_mala_suff_kernel(p: int, external_noise: bool, dense: bool):
   """MALA step + suff-stat accumulation; math = mala_accept.py kernel
   (itself exact-parity tested against kernels/mala.py:58-146)."""
   def _kernel(
@@ -141,7 +141,7 @@ def _make_mala_suff_kernel(p: int, external_noise: bool):
     m2d = mask_ref[:]
     eta = _eta_vpu(x, prop, p)                            # (TG, n, TC)
     y = y_ref[:][:, :, None]
-    m = m2d[:, :, None]
+    m = None if dense else m2d[:, :, None]
     ll, resid = _lik_terms(eta, y, m)     # one exp+log1p for both terms
     lik_prop = jnp.sum(ll, axis=1)
     gll = [
@@ -191,7 +191,7 @@ def _make_mala_suff_kernel(p: int, external_noise: bool):
 
 def fused_mala_suff_step_t(
     key, beta_t, v_t, g_t, ls_t, mu_t, itau2_t, x, y, mask,
-    interpret: bool | None = None, noise=None,
+    interpret: bool | None = None, noise=None, dense: bool = False,
 ):
     """One MALA update of the whole group block + suff stats, transposed
     operands, zero host-side layout work.
@@ -242,7 +242,7 @@ def fused_mala_suff_step_t(
     # consecutive grid steps and accumulate in VMEM (one HBM write each).
     grid = (C // TC, Gp // TG)
     return pl.pallas_call(
-        _make_mala_suff_kernel(p, external_noise),
+        _make_mala_suff_kernel(p, external_noise, dense),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -271,7 +271,7 @@ def fused_mala_suff_step_t(
     )(*ops)
 
 
-def _make_asis_eval_kernel(p: int):
+def _make_asis_eval_kernel(p: int, dense: bool):
   """ASIS rescale + loglik/grad + delta accumulation; math mirrors
   models/hier_logistic.py asis_tau_move (rescale + one obs pass)."""
   def _kernel(
@@ -296,7 +296,7 @@ def _make_asis_eval_kernel(p: int):
     m2d = mask_ref[:]
     eta = _eta_vpu(x, bnew, p)
     y = y_ref[:][:, :, None]
-    m = m2d[:, :, None]
+    m = None if dense else m2d[:, :, None]
     ll, resid = _lik_terms(eta, y, m)     # one exp+log1p for both terms
     lik_new = jnp.sum(ll, axis=1)
     valid = _valid_from_mask(m2d)                         # (TG, 1)
@@ -314,7 +314,7 @@ def _make_asis_eval_kernel(p: int):
 
 
 def asis_eval_t(beta_t, v_t, mu_t, ratio_t, x, y, mask,
-                interpret: bool | None = None):
+                interpret: bool | None = None, dense: bool = False):
     """Rescaled-likelihood pass of the ASIS move, transposed operands.
 
     Returns (lik_new_t (Gp,C), g_new_t (Gp,p,C), dsum (1,C)); dsum is the
@@ -334,7 +334,7 @@ def asis_eval_t(beta_t, v_t, mu_t, ratio_t, x, y, mask,
     assert Gp % TG == 0, (Gp, TG)
     grid = (C // TC, Gp // TG)
     return pl.pallas_call(
-        _make_asis_eval_kernel(p),
+        _make_asis_eval_kernel(p, dense),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TG, n, p), lambda c, g: (g, 0, 0)),
