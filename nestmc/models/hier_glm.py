@@ -12,6 +12,11 @@ Families:
   'binomial':  y successes of data.extra['trials'] trials, logit link.
   'bernoulli': special case of binomial with 1 trial (prefer
                models.make_hier_logistic, which has the Pallas/fused paths).
+  'poisson':   y ~ Poisson(exp(eta)) — 2-level counts (the 3-level variant
+               with its conjugate draws is models.make_nested_poisson).
+  'negbin':    y ~ NegBin(mean=exp(eta), concentration r) — overdispersed
+               counts; r sampled as a population block log_r that enters
+               the likelihood (gamma-Poisson mixture parameterization).
 
 Shares the mixing machinery of the benchmark models: sufficient-stat hyper
 conditionals, conjugate mu, per-coordinate log_tau with repeats, ASIS
@@ -56,8 +61,12 @@ def make_hier_glm(
     G = data.num_groups
     p = data.num_covariates
     gaussian = family == "gaussian"
-    if family not in ("gaussian", "binomial", "bernoulli"):
+    negbin = family == "negbin"
+    if family not in ("gaussian", "binomial", "bernoulli", "poisson",
+                      "negbin"):
         raise ValueError(f"unknown family {family!r}")
+    # name of the aux population block that enters the likelihood
+    aux = "log_sigma" if gaussian else ("log_r" if negbin else None)
     if tau_prior not in ("halfnormal", "invgamma"):
         raise ValueError(tau_prior)
     conj_tau = tau_prior == "invgamma"
@@ -104,6 +113,20 @@ def make_hier_glm(
             sigma = jnp.exp(state["log_sigma"])[:, None, None]
             z = (d.y - eta) / sigma
             ll = -0.5 * (z * z + _LOG_2PI) - jnp.log(sigma)
+        elif family == "poisson":
+            ll = d.y * eta - jnp.exp(eta) - gammaln(d.y + 1.0)
+        elif negbin:
+            # NB(mean mu = e^eta, concentration r): log p =
+            # lgamma(y+r) - lgamma(r) - lgamma(y+1)
+            # + r (log r - log(r+mu)) + y (eta - log(r+mu)),
+            # log(r+mu) computed stably as logaddexp(log_r, eta)
+            lr = state["log_r"][:, None, None]
+            r = jnp.exp(lr)
+            lrm = jnp.logaddexp(lr, eta)
+            ll = (
+                gammaln(d.y + r) - gammaln(r) - gammaln(d.y + 1.0)
+                + r * (lr - lrm) + d.y * (eta - lrm)
+            )
         else:
             trials, log_binom = _trials_binom(d)
             ll = (
@@ -130,7 +153,9 @@ def make_hier_glm(
         state = {**state, name: value}
         if name == "beta":
             return _lik(state, data_) + _gprior(state)
-        if name == "log_sigma":
+        if name in ("log_sigma", "log_r"):
+            # aux scale/dispersion blocks: touch the data likelihood and
+            # carry a half-normal prior on the natural scale (+ Jacobian)
             prior = (
                 logpdf_halfnormal(jnp.exp(value), prior_sigma_scale) + value
                 + log_scale_guard(value)
@@ -158,10 +183,10 @@ def make_hier_glm(
             )
             + jnp.sum(_tau_logprior(state["log_tau"]), axis=-1)
         )
-        if gaussian:
+        if aux is not None:
             out = out + logpdf_halfnormal(
-                jnp.exp(state["log_sigma"]), prior_sigma_scale
-            ) + state["log_sigma"]
+                jnp.exp(state[aux]), prior_sigma_scale
+            ) + state[aux]
         return out
 
     def init_state(key, data_, chains):
@@ -171,8 +196,8 @@ def make_hier_glm(
             "mu": 0.3 * jax.random.normal(ks[1], (chains, p)),
             "log_tau": -0.5 + 0.3 * jax.random.normal(ks[2], (chains, p)),
         }
-        if gaussian:
-            st["log_sigma"] = 0.2 * jax.random.normal(ks[3], (chains,))
+        if aux is not None:
+            st[aux] = 0.2 * jax.random.normal(ks[3], (chains,))
         return st
 
     def gibbs_mu(key, state, data_):
@@ -230,9 +255,9 @@ def make_hier_glm(
         Block("mu", (p,), units=p, init_scale=0.2),
         Block("log_tau", (p,), units=p, init_scale=0.2, repeats=4),
     ]
-    if gaussian:
-        # scalar noise: data-dependent population block (touches lik)
-        blocks.append(Block("log_sigma", (), init_scale=0.1, repeats=2))
+    if aux is not None:
+        # scalar noise/dispersion: data-dependent population block
+        blocks.append(Block(aux, (), init_scale=0.1, repeats=2))
 
     return ModelSpec(
         name=f"hier_glm_{family}",
@@ -255,7 +280,7 @@ def make_hier_glm(
 
 def synth_glm(
     key, family: str = "gaussian", G: int = 50, n: int = 20, p: int = 3,
-    sigma: float = 0.7, trials: int = 10,
+    sigma: float = 0.7, trials: int = 10, r: float = 5.0,
 ):
     ks = jax.random.split(key, 6)
     mu = 0.4 * jax.random.normal(ks[0], (p,))
@@ -271,6 +296,13 @@ def synth_glm(
         m = jnp.full((G, n), float(trials))
         y = jax.random.binomial(ks[4], m, jax.nn.sigmoid(eta))
         extra["trials"] = m
+    elif family == "poisson":
+        y = jax.random.poisson(ks[4], jnp.exp(eta)).astype(jnp.float32)
+    elif family == "negbin":
+        # gamma-Poisson mixture: lam ~ Gamma(r, scale=mu/r), y ~ Pois(lam)
+        mu_nb = jnp.exp(eta)
+        lam = mu_nb / r * jax.random.gamma(ks[5], r, (G, n))
+        y = jax.random.poisson(ks[4], lam).astype(jnp.float32)
     else:
         raise ValueError(family)
     data = NestedData(
@@ -278,5 +310,5 @@ def synth_glm(
         sizes=jnp.full((G,), n, jnp.int32), x=x.astype(jnp.float32),
         extra=extra,
     )
-    truth = {"mu": mu, "tau": tau, "sigma": sigma}
+    truth = {"mu": mu, "tau": tau, "sigma": sigma, "r": r}
     return data, truth

@@ -238,15 +238,14 @@ def make_hier_logistic(
                 value, data.x, data.y, data.segment_ids, data.num_groups
             )
         if chosen == "pallas":
-            import numpy as np
-
             from nestmc.ops.pallas.loglik_logistic import (
                 logistic_logp_grad_pallas,
             )
 
+            # _dense_data: static, computed from the CONCRETE data at
+            # model build (data here is traced through the jit boundary)
             return logistic_logp_grad_pallas(
-                value, data.x, data.y, data.mask,
-                dense=bool(np.asarray(data.mask).all()),
+                value, data.x, data.y, data.mask, dense=_dense_data,
             )
         out, vjp = jax.vjp(lambda b: lik_fn(b, data), value)
         (g,) = vjp(jnp.ones_like(out))
