@@ -71,8 +71,24 @@ def _rank_normalize(x):
     avg_sorted = 0.5 * (start + end).astype(x.dtype) + 1.0  # 1-based
     inv = jnp.argsort(order, axis=0)
     ranks = jnp.take_along_axis(avg_sorted, inv, axis=0)
-    z = ndtri((ranks - 0.375) / (n + 0.25))
+    z = ndtri(_rank_to_u(ranks, n))
     return z.reshape(shape)
+
+
+def _rank_to_u(ranks, n):
+    """Blom offset (rank - 3/8)/(n + 1/4), clamped inside the OPEN unit
+    interval at f32 resolution.
+
+    For n > ~1.2e7 pooled draws (e.g. 3072 chains x 4096 draws) the top
+    rank's offset quotient 1 - 0.625/n is closer to 1 than the f32 ULP
+    (2^-24), rounds to exactly 1.0, and ndtri(1.0) = +inf poisons every
+    downstream diagnostic with NaN. Clamping to the largest float below 1
+    saturates extreme ranks at |z| ~ 5.4 — immeasurable distortion of an
+    ESS estimate, instead of a NaN benchmark gate.
+    """
+    u = (ranks - 0.375) / (n + 0.25)
+    lo = jnp.asarray(2.0**-24, u.dtype)
+    return jnp.clip(u, lo, 1.0 - lo)
 
 
 def rhat(draws, rank_normalized: bool = True):

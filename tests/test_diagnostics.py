@@ -215,3 +215,18 @@ def test_diagnose_chunked_matches_direct():
                 rtol=2e-5, atol=2e-5,
             )
             assert chunked[name][k].shape == direct[name][k].shape
+
+
+def test_rank_offset_stays_inside_unit_interval_at_huge_n():
+    """Regression: at n > ~1.2e7 pooled draws the Blom offset for the top
+    rank rounds to exactly 1.0 in f32 and ndtri(1.0)=inf poisoned every
+    diagnostic with NaN (observed at 3072 chains x 4096 draws on TPU)."""
+    from jax.scipy.special import ndtri
+
+    from nestmc.diagnostics import _rank_to_u
+
+    for n in (2**23, 2**24, 2**26, 2**30):
+        u = _rank_to_u(jnp.asarray([1.0, float(n)], jnp.float32), n)
+        z = ndtri(u)
+        assert float(u[1]) < 1.0 and float(u[0]) > 0.0, (n, u)
+        assert np.all(np.isfinite(np.asarray(z))), (n, z)
