@@ -43,7 +43,12 @@ def main() -> int:
 
     # The judged model: 1k groups x 50 obs, p=4.
     data, _ = synth_logistic(jax.random.key(2000), G=1000, n=50, p=4)
-    chains_per_chip = int(os.environ.get("NESTMC_BENCH_CHAINS_PER_CHIP", 512))
+    # 2048 chains/chip: middle of the measured ESS/s plateau (round-2
+    # chain scan, single-exp+dense kernels: 512 -> 4.04M, 1024 -> 4.53M,
+    # 1536 -> 4.57M, 2048 -> 4.62-4.67M, 3072 -> 4.60M, 4096 -> 3.72M)
+    chains_per_chip = int(
+        os.environ.get("NESTMC_BENCH_CHAINS_PER_CHIP", 2048)
+    )
     warmup = int(os.environ.get("NESTMC_BENCH_WARMUP", 1500))
     draws = int(os.environ.get("NESTMC_BENCH_DRAWS", 4096))
     # MALA with the fused Pallas logp+grad kernel and the carried grad
