@@ -4,7 +4,7 @@ This is the "sweep mega-kernel" step beyond the single-kernel MALA beta
 update: ONE sweep of the judged config (MALA beta + conjugate mu +
 conjugate inverse-gamma tau + ASIS interweaving) becomes
 
-    2 Pallas kernels + an O(C p) jnp hyper chain
+    3 Pallas kernels + an O(C p) jnp hyper chain
 
 instead of ~100 XLA ops. The enabling change is the carry LAYOUT: the
 group-block state (beta, carried loglik, carried grad, per-unit proposal
@@ -35,8 +35,9 @@ from nestmc.adapt import adapt_log_scale
 from nestmc.config import MALA_TARGET_ACCEPT, SamplerConfig
 from nestmc.data import NestedData
 from nestmc.kernels.state import KernelState
-from nestmc.ops.pallas.asis_move import asis_move_t
 from nestmc.ops.pallas.sweep_logistic import (
+    asis_eval_t,
+    asis_select_t,
     fused_mala_suff_step_t,
     pad_groups_to_multiple,
     padded_num_groups,
@@ -253,15 +254,27 @@ class FusedLogisticSweep:
         logu = jnp.log(jax.random.uniform(
             k2, (self._C,), dtype, minval=jnp.finfo(dtype).tiny
         ))
-        # eval + in-kernel accept + select in ONE launch (the rescaled
-        # likelihood/grad never leave VMEM; ops/pallas/asis_move.py)
-        beta, v, g, alpha_c, acc_f = asis_move_t(
-            beta, v, g, mu, ratio, prior_delta, logu,
-            data.x, data.y, data.mask,
+        # Measured A/B at C=256 (sample sweeps/s): this eval+select
+        # composition 1679 vs the single-launch asis_move_t 1521 — the
+        # merged kernel's second pass refetches the carry blocks and its
+        # VMEM scratch forces TC=128, costing more than the launch it
+        # saves. ops/pallas/asis_move.py stays as the tested alternative.
+        lik_new, g_new, dsum = asis_eval_t(
+            beta, v, mu, ratio, data.x, data.y, data.mask,
             interpret=self.interpret, dense=self.dense,
         )
-        lt = jnp.where(acc_f[None, :] > 0.0, lt_prop, lt)
-        alpha_a = alpha_c[:, None]                             # (C, 1)
+        log_alpha = dsum[0] + prior_delta
+        accept = logu < log_alpha                              # NaN -> F
+        beta, v, g = asis_select_t(
+            beta, v, g, lik_new, g_new, mu, ratio,
+            accept.astype(dtype)[None, :], data.mask,
+            interpret=self.interpret,
+        )
+        lt = jnp.where(accept[None, :], lt_prop, lt)
+        alpha_a = jnp.where(
+            jnp.isnan(log_alpha), 0.0,
+            jnp.exp(jnp.minimum(log_alpha, 0.0)),
+        )[:, None]                                             # (C, 1)
         acc_sum["asis_tau"] = acc_sum["asis_tau"] + alpha_a
         if adapt:
             ls["asis_tau"] = adapt_log_scale(
