@@ -32,6 +32,7 @@ from nestmc.data import NestedData, NestedData3
 from nestmc.engine import sample
 from nestmc.model import Block, ModelSpec
 from nestmc.posterior import Posterior
+from nestmc.predictive import posterior_predictive, predictive_pvalue
 
 __version__ = "0.1.0"
 
@@ -45,6 +46,8 @@ __all__ = [
     "RunConfig",
     "SamplerConfig",
     "ShardingConfig",
+    "posterior_predictive",
+    "predictive_pvalue",
     "sample",
     "__version__",
 ]
