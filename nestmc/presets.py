@@ -150,10 +150,14 @@ def _mala_100k(seed: int, scale: float):
     model = make_hier_logistic(data)
     n_dev = len(jax.devices())
     gsh = 2 if (n_dev % 2 == 0 and n_dev > 1 and G % 2 == 0) else 1
+    # 512 chains: at G=100k the kernels' chain tile is the LANE axis, so
+    # C=64 (TC=64) idled half of every 128-wide vector — measured ESS/s/
+    # chip at the converged 1500/4096 schedule: C=64 -> 22-24k, 128 ->
+    # 45k, 256 -> 55k, 512 -> 63k (worst R-hat 1.0026 throughout).
     cfg = SamplerConfig(
         kernel=KernelConfig(algorithm="mala"),
         run=RunConfig(
-            chains=64 if scale >= 1.0 else 16,
+            chains=512 if scale >= 1.0 else 16,
             warmup=max(50, int(300 * scale)),
             draws=max(50, int(256 * scale)),
             seed=seed,
