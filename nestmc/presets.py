@@ -47,12 +47,16 @@ def _hier_logistic_100(seed: int, scale: float):
         jax.random.key(seed + 1000), G=100, n=50, p=4
     )
     model = make_hier_logistic(data)
+    # big scan segments: this tiny model sweeps at ~7000/s on-chip, so
+    # per-segment host syncs through the remote tunnel dominate wall time
+    # at the default segment_size=500
     cfg = SamplerConfig(
         run=RunConfig(
             chains=64,
             warmup=max(50, int(500 * scale)),
             draws=max(50, int(1000 * scale)),
             seed=seed,
+            segment_size=4096,
             collect={"mu": None, "log_tau": None, "beta": 16},
         ),
     )
