@@ -29,6 +29,8 @@ from nestmc.models import (
 def _eight_schools(seed: int, scale: float):
     """Config 1 (BASELINE.json:7): 8-schools, 4 chains x 10k draws, RW-MH."""
     model, data = make_eight_schools()
+    # one scan segment: at 4 chains the model sweeps >10k/s; per-segment
+    # host syncs would dominate wall time otherwise (see config 2 note)
     cfg = SamplerConfig(
         kernel=KernelConfig(algorithm="rwmh"),
         run=RunConfig(
@@ -36,6 +38,7 @@ def _eight_schools(seed: int, scale: float):
             warmup=max(100, int(1000 * scale)),
             draws=max(100, int(10_000 * scale)),
             seed=seed,
+            segment_size=10_000,
         ),
     )
     return model, data, cfg
@@ -81,7 +84,7 @@ def _hier_logistic_1k(seed: int, scale: float):
             warmup=max(50, int(1000 * scale)),
             draws=max(50, int(2048 * scale)),
             seed=seed,
-            segment_size=1024,
+            segment_size=2048,
             collect={"mu": None, "log_tau": None, "beta": 8},
         ),
     )
