@@ -90,6 +90,7 @@ def main() -> int:
     sample_s = post.timings["sample_s"]
     total_ess = post.total_ess()
     min_ess = post.min_ess()
+    floor = post.min_ess_argmin()
     # worst split R-hat over ALL parameters (streamed full_rhat covers every
     # beta unit; the diagnostics pass covers the collected scalars)
     worst_rhat = post.worst_rhat()
@@ -106,6 +107,14 @@ def main() -> int:
         f"sweeps/s={(warmup + draws) / (post.timings['warmup_s'] + sample_s):.0f}",
         file=sys.stderr,
     )
+    if floor is not None:
+        # attribute the min-ESS floor so it is an actionable target, not
+        # just a rate (VERDICT r2 item 2)
+        print(
+            f"[bench] min-ESS floor: block={floor['block']} "
+            f"index={floor['index']} ess={floor['ess']:.0f}",
+            file=sys.stderr,
+        )
 
     # Convergence gate (SURVEY.md section 3.5 / BASELINE.json:5): the
     # throughput number is meaningless if the chains have not converged.
@@ -125,6 +134,9 @@ def main() -> int:
         "vs_baseline": round(value / 125_000.0, 4),
         "min_ess_per_sec_per_chip": round(min_ess_rate, 1),
         "worst_rhat_all_params": round(worst_rhat, 5),
+        "min_ess_floor": (
+            f"{floor['block']}{list(floor['index'])}" if floor else None
+        ),
     }))
     return 0
 

@@ -50,6 +50,11 @@ def main() -> int:
     ap.add_argument("--groups", type=int, default=1000)
     ap.add_argument("--obs", type=int, default=50)
     ap.add_argument("--p", type=int, default=4)
+    ap.add_argument(
+        "--roofline", action="store_true",
+        help="emit achieved bytes/s + transcendentals/s of the hot "
+             "kernels vs the HBM spec and a measured transcendental peak",
+    )
     args = ap.parse_args()
 
     import jax
@@ -182,9 +187,107 @@ def main() -> int:
             _timed(k_old, beta_c) * 1e6, 1
         )
 
+        if args.roofline:
+            res["roofline"] = _roofline(
+                beta, fd, res, C=Cc, Gp=Gp, n=args.obs, p=P
+            )
+            print(json.dumps({"roofline": res["roofline"]}, indent=2),
+                  flush=True)
+
     res["unit"] = "us_per_sweep_or_call"
     print(json.dumps(res))
     return 0
+
+
+def _roofline(beta, fd, res, C, Gp, n, p):
+    """Quantified utilization of the hot kernels vs measured device peaks.
+
+    For each timed stage: analytic minimal HBM traffic (every operand
+    touched once) and transcendental counts, divided by measured stage
+    time, vs (a) the v5e HBM spec 819 GB/s and (b) an EMPIRICAL
+    transcendental peak — a same-shape Pallas kernel that only streams the
+    obs block and applies one exp+log1p per element, timed on this chip.
+    That makes the 'transcendental-bound within ~1.3x of the VPU floor'
+    claim (DESIGN.md section 2) a measured number, not prose
+    (VERDICT r2 item 4).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    f = 4  # f32 bytes
+    # per-call minimal HBM bytes: obs block (x, y, mask) + chain-carried
+    # blocks in/out.
+    obs_bytes = f * (Gp * n * p + 2 * Gp * n)
+    carry3 = f * Gp * p * C       # one (Gp, p, C) array
+    carry2 = f * Gp * C           # one (Gp, C) array
+    stages = {
+        # in: obs + beta,v,g,ls; out: beta,v,g,alpha (+s1,s2 ~ p*C, negl.)
+        "k_mala_suff": {
+            "bytes": obs_bytes + 4 * carry3 + 4 * carry2,
+            # per obs element: one exp + one log1p (single-exp _lik_terms)
+            # + noise (Box-Muller: log, cos, sqrt ~ 3 per beta element)
+            "transcendentals": 2 * C * Gp * n + 3 * C * Gp * p,
+        },
+        # in: obs + beta,v; out: lik_new, g_new (+dsum)
+        "k_asis_eval": {
+            "bytes": obs_bytes + 2 * carry3 + 2 * carry2,
+            "transcendentals": 2 * C * Gp * n,
+        },
+        # in: beta,v,g,lik_new,g_new; out: beta,v,g — no obs pass
+        "k_asis_select": {
+            "bytes": 4 * carry3 + 3 * carry2,
+            "transcendentals": 0,
+        },
+    }
+
+    # empirical transcendental peak: stream the obs-sized block, apply
+    # exp+log1p per element, write one (TG, TC) reduction — the same
+    # compute/traffic shape as the likelihood inner loop with everything
+    # else stripped.
+    TC = 256 if C % 256 == 0 else 128
+    TG = 16
+
+    def _trans_kernel(x_ref, o_ref):
+        x = x_ref[:]                                   # (TG, n, TC)
+        o_ref[:] = jnp.sum(jnp.log1p(jnp.exp(x)), axis=1)
+
+    xt = jnp.broadcast_to(
+        jnp.linspace(-3.0, 3.0, n)[None, :, None], (Gp, n, TC)
+    ).astype(jnp.float32)
+
+    def k_trans(b):
+        out = pl.pallas_call(
+            _trans_kernel,
+            grid=(Gp // TG,),
+            in_specs=[pl.BlockSpec((TG, n, TC), lambda g: (g, 0, 0))],
+            out_specs=pl.BlockSpec((TG, TC), lambda g: (g, 0)),
+            out_shape=jax.ShapeDtypeStruct((Gp, TC), jnp.float32),
+        )(b)
+        return b + 0.0 * out[:, None, :]
+
+    t_trans = _timed(k_trans, xt)
+    peak_trans_per_s = 2 * Gp * n * TC / t_trans
+
+    out = {
+        "empirical_exp_log1p_per_s": round(peak_trans_per_s / 1e9, 2),
+        "empirical_peak_unit": "Gtranscendental/s (exp+log1p pairs x2)",
+        "hbm_peak_GBps": 819.0,
+    }
+    for name, cost in stages.items():
+        t = res[name] * 1e-6
+        out[name] = {
+            "us": res[name],
+            "achieved_GBps": round(cost["bytes"] / t / 1e9, 1),
+            "hbm_util_pct": round(100 * cost["bytes"] / t / 819e9, 1),
+            "achieved_Gtrans_per_s": round(
+                cost["transcendentals"] / t / 1e9, 2
+            ),
+            "trans_util_pct": round(
+                100 * cost["transcendentals"] / t / peak_trans_per_s, 1
+            ) if cost["transcendentals"] else None,
+        }
+    return out
 
 
 if __name__ == "__main__":

@@ -375,8 +375,13 @@ def make_hier_logistic(
     def gibbs_log_tau(key, state, data):
         """EXACT conjugate draw (invgamma variant): per (chain, coordinate)
         tau_k^2 | beta, mu ~ InvGamma(a + G/2, b + quad_k/2), sampled as
-        rate / Gamma(shape) and returned as log tau (clipped to the
-        log-scale guard bounds)."""
+        rate / Gamma(shape) and returned as log tau.
+
+        The clip to [-12, 12] approximates the guard-truncated conditional
+        that the MH blocks' log_scale_guard defines; the truncated mass at
+        these hyperparameters is immeasurable (|log tau| = 12 is >100 sd
+        out), so the two conditionals agree to numerical precision. Same
+        convention as nested_poisson's conjugate draws."""
         s1, s2 = _suff(state["beta"])
         mu = state["mu"]
         quad = s2 - 2.0 * mu * s1 + G * mu * mu

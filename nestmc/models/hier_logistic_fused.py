@@ -255,10 +255,11 @@ class FusedLogisticSweep:
             k2, (self._C,), dtype, minval=jnp.finfo(dtype).tiny
         ))
         # Measured A/B at C=256 (sample sweeps/s): this eval+select
-        # composition 1679 vs the single-launch asis_move_t 1521 — the
-        # merged kernel's second pass refetches the carry blocks and its
-        # VMEM scratch forces TC=128, costing more than the launch it
-        # saves. ops/pallas/asis_move.py stays as the tested alternative.
+        # composition 1679 vs a single-launch merged ASIS kernel 1521 —
+        # the merged kernel's second pass refetched the carry blocks and
+        # its full-Gp VMEM scratch forced TC=128, costing more than the
+        # launch it saved, so the merged variant was removed in round 3
+        # (decision + revisit condition recorded in DESIGN.md §4a).
         lik_new, g_new, dsum = asis_eval_t(
             beta, v, mu, ratio, data.x, data.y, data.mask,
             interpret=self.interpret, dense=self.dense,

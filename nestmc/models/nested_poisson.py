@@ -436,11 +436,13 @@ def make_nested_poisson(
         # it; tau_s interweaving costs one likelihood eval, repeat modestly
         joint_move_repeats={"asis_tau_g": 4, "asis_tau_s": 2},
         # size-aware starts: each move's log-alpha sums over S subject-prior
-        # terms (tau_g) / all N obs-likelihood terms (tau_s), so optimal
-        # steps shrink like the inverse square root of those counts
+        # terms (tau_g) / all N=sum(mask) obs-likelihood terms (tau_s), so
+        # optimal steps shrink like the inverse square root of those counts
         joint_move_init_scale={
             "asis_tau_g": 2.38 / math.sqrt(p * max(S, 1)),
-            "asis_tau_s": 2.38 / math.sqrt(p * max(int(data.y.shape[0]), 1)),
+            "asis_tau_s": 2.38 / math.sqrt(
+                p * max(int(jnp.sum(data.mask)), 1)
+            ),
         },
     )
 

@@ -41,7 +41,7 @@ from nestmc.ops.pallas.loglik_logistic import (
     _r8,
     _r128,
 )
-from nestmc.ops.pallas.mh_accept import _normal, _uniform_01
+from nestmc.ops.pallas.mh_accept import _normal, _seed_words, _uniform_01
 
 
 def _make_fused_mala_kernel(p: int, external_noise: bool, dense: bool = False):
@@ -69,6 +69,7 @@ def _make_fused_mala_kernel(p: int, external_noise: bool, dense: bool = False):
             + pl.program_id(0) * jnp.int32(1000003)
             + pl.program_id(1) * jnp.int32(7919)
         )
+    mix = seed_ref[0, 1]
     beta = beta_ref[:]                                    # (TG, p, TC)
     mu = mu_ref[:][None, :, :]                            # (1, p, TC)
     itau2 = itau2_ref[:][None, :, :]
@@ -77,7 +78,7 @@ def _make_fused_mala_kernel(p: int, external_noise: bool, dense: bool = False):
 
     db = beta - mu
     g_old = g_ref[:] - db * itau2                         # full-cond grad
-    eps = eps_ref[:] if external_noise else _normal(beta.shape)
+    eps = eps_ref[:] if external_noise else _normal(beta.shape, mix)
     prop = beta + 0.5 * s2 * g_old + s * eps
 
     # one obs pass: loglik + grad of the proposal
@@ -109,7 +110,7 @@ def _make_fused_mala_kernel(p: int, external_noise: bool, dense: bool = False):
     log_alpha = d_delta + q_delta                         # (TG, TC)
 
     logu = logu_ref[:] if external_noise else jnp.log(
-        _uniform_01(log_alpha.shape)
+        _uniform_01(log_alpha.shape, mix)
     )
     accept = logu < log_alpha                             # NaN -> reject
     acc3 = accept[:, None, :]
@@ -150,8 +151,7 @@ def fused_mala_logistic_step(
         max_tg=64,
     )
 
-    kd = jax.random.key_data(key).astype(jnp.uint32)
-    seed = (kd[..., 0] ^ kd[..., 1]).astype(jnp.int32).reshape(1, 1)
+    seed = _seed_words(key)
 
     bt = jnp.transpose(beta, (1, 2, 0))                   # (G, p, C)
     gt = jnp.transpose(g_cache, (1, 2, 0))                # (G, p, C)
@@ -169,7 +169,7 @@ def fused_mala_logistic_step(
 
     in_specs = [
         pl.BlockSpec(
-            (1, 1), lambda g, c: (0, 0), memory_space=pltpu.SMEM
+            (1, 2), lambda g, c: (0, 0), memory_space=pltpu.SMEM
         ),
         pl.BlockSpec((TG, n, p), lambda g, c: (g, 0, 0)),
         pl.BlockSpec((TG, n), lambda g, c: (g, 0)),

@@ -45,13 +45,23 @@ from nestmc.ops.pallas.loglik_logistic import (
 _TWO_PI = 2.0 * math.pi
 
 
-def _uniform_01(shape):
+def _uniform_01(shape, mix=None):
     """Uniform in (0, 1): top 24 bits of the PRNG, offset off exact 0.
 
     Mosaic has no uint32->f32 cast; shift clears the top byte, so a bitcast
     to int32 is value-preserving and int32->f32 lowers fine.
+
+    mix: optional int32 scalar xored into the raw bits. prng_seed takes one
+    32-bit scalar (Mosaic rejects multi-operand prng_set_seed_32), so the
+    64-bit threefry key would otherwise collapse to 32 bits and two sweeps
+    could replay an identical stream (birthday ~0.4% at 6k sweeps). Xoring
+    the second key word into the bits is a bijection per draw (keeps exact
+    uniformity and cross-cell distinctness) and makes the stream a function
+    of the FULL key.
     """
     bits = pltpu.prng_random_bits(shape)
+    if mix is not None:
+        bits = bits ^ mix
     u24 = jax.lax.shift_right_logical(
         pltpu.bitcast(bits, jnp.uint32), jnp.uint32(8)
     )
@@ -59,17 +69,30 @@ def _uniform_01(shape):
     return u24i.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
 
 
-def _normal(shape):
+def _normal(shape, mix=None):
     """Box-Muller standard normals from two uniform draws."""
-    u1 = _uniform_01(shape)
-    u2 = _uniform_01(shape)
+    u1 = _uniform_01(shape, mix)
+    u2 = _uniform_01(shape, mix)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(_TWO_PI * u2)
 
 
+def _seed_words(key):
+    """(1, 2) int32 SMEM operand: [prng_seed word, bit-mix word].
+
+    Word 0 (xor of the threefry halves) preserves the round-2 seeding
+    stream; word 1 carries the second 32 bits of the key into the xor mix
+    so distinct 64-bit keys yield distinct noise streams.
+    """
+    kd = jax.random.key_data(key).astype(jnp.uint32)
+    return jnp.stack(
+        [kd[..., 0] ^ kd[..., 1], kd[..., 1]], axis=-1
+    ).astype(jnp.int32).reshape(1, 2)
+
+
 def _make_fused_kernel(p: int):
   def _fused_kernel(
-    seed_ref,                     # (1, 1) int32 in SMEM
+    seed_ref,                     # (1, 2) int32 in SMEM [seed, mix]
     x_ref, y_ref, mask_ref,       # (TG,n,p), (TG,n), (TG,n)
     beta_ref,                     # (TG, p, TC)
     lik_ref,                      # (TG, TC) carried loglik of current beta
@@ -78,14 +101,16 @@ def _make_fused_kernel(p: int):
     out_beta_ref, out_lik_ref, out_alpha_ref,
 ):
     # single-scalar seed: Mosaic rejects multi-operand prng_set_seed_32.
-    # Distinct grid cells get distinct seeds (pid1 < 126 in practice).
+    # Distinct grid cells get distinct seeds (pid1 < 126 in practice);
+    # the second key word enters via the bit mix (see _uniform_01).
     pltpu.prng_seed(
         seed_ref[0, 0]
         + pl.program_id(0) * jnp.int32(1000003)
         + pl.program_id(1) * jnp.int32(7919)
     )
+    mix = seed_ref[0, 1]
     beta = beta_ref[:]                                   # (TG, p, TC)
-    step = jnp.exp(ls_ref[:])[:, None, :] * _normal(beta.shape)
+    step = jnp.exp(ls_ref[:])[:, None, :] * _normal(beta.shape, mix)
     prop = beta + step
 
     eta = _eta_vpu(x_ref[:], prop, p)                    # (TG, n, TC)
@@ -100,7 +125,7 @@ def _make_fused_kernel(p: int):
     gprior_delta = jnp.sum(-0.5 * (dp * dp - db * db) * itau2, axis=1)
 
     log_alpha = lik_prop - lik_ref[:] + gprior_delta     # (TG, TC)
-    logu = jnp.log(_uniform_01(log_alpha.shape))
+    logu = jnp.log(_uniform_01(log_alpha.shape, mix))
     accept = logu < log_alpha                            # NaN -> reject
 
     out_beta_ref[:] = jnp.where(accept[:, None, :], prop, beta)
@@ -128,8 +153,7 @@ def fused_rwmh_logistic_step(
                      extra_out=_r8(p) * _r128(TC) * 4 + 2 * _r128(TC) * 4,
                      max_tg=64)
 
-    kd = jax.random.key_data(key).astype(jnp.uint32)
-    seed = (kd[..., 0] ^ kd[..., 1]).astype(jnp.int32).reshape(1, 1)
+    seed = _seed_words(key)
 
     bt = jnp.transpose(beta, (1, 2, 0))                  # (G, p, C)
     lik_t = lik_cache.T                                  # (G, C)
@@ -146,7 +170,7 @@ def fused_rwmh_logistic_step(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1), lambda g, c: (0, 0), memory_space=pltpu.SMEM
+                (1, 2), lambda g, c: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec((TG, n, p), lambda g, c: (g, 0, 0)),
             pl.BlockSpec((TG, n), lambda g, c: (g, 0)),

@@ -58,7 +58,7 @@ from nestmc.ops.pallas.loglik_logistic import (
     _r8,
     _r128,
 )
-from nestmc.ops.pallas.mh_accept import _normal, _uniform_01
+from nestmc.ops.pallas.mh_accept import _normal, _seed_words, _uniform_01
 
 
 # The fused-sweep carry keeps its group axis padded to this multiple, so
@@ -100,7 +100,7 @@ def _make_mala_suff_kernel(p: int, external_noise: bool, dense: bool):
   """MALA step + suff-stat accumulation; math = mala_accept.py kernel
   (itself exact-parity tested against kernels/mala.py:58-146)."""
   def _kernel(
-    seed_ref,                     # (1, 1) int32 in SMEM
+    seed_ref,                     # (1, 2) int32 in SMEM [seed, mix]
     x_ref, y_ref, mask_ref,       # (TG,n,p), (TG,n), (TG,n)
     beta_ref,                     # (TG, p, TC)
     v_ref,                        # (TG, TC) carried data-loglik of beta
@@ -120,6 +120,7 @@ def _make_mala_suff_kernel(p: int, external_noise: bool, dense: bool):
             + pl.program_id(1) * jnp.int32(1000003)
             + pl.program_id(0) * jnp.int32(7919)
         )
+    mix = seed_ref[0, 1]
 
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -134,7 +135,7 @@ def _make_mala_suff_kernel(p: int, external_noise: bool, dense: bool):
 
     db = beta - mu
     g_old = g_ref[:] - db * itau2                         # full-cond grad
-    eps = eps_ref[:] if external_noise else _normal(beta.shape)
+    eps = eps_ref[:] if external_noise else _normal(beta.shape, mix)
     prop = beta + 0.5 * s2 * g_old + s * eps
 
     x = x_ref[:]
@@ -163,7 +164,7 @@ def _make_mala_suff_kernel(p: int, external_noise: bool, dense: bool):
     log_alpha = d_delta + q_delta                         # (TG, TC)
 
     logu = logu_ref[:] if external_noise else jnp.log(
-        _uniform_01(log_alpha.shape)
+        _uniform_01(log_alpha.shape, mix)
     )
     accept = logu < log_alpha                             # NaN -> reject
     acc3 = accept[:, None, :]
@@ -216,11 +217,10 @@ def fused_mala_suff_step_t(
     )
     assert Gp % TG == 0, (Gp, TG)
 
-    kd = jax.random.key_data(key).astype(jnp.uint32)
-    seed = (kd[..., 0] ^ kd[..., 1]).astype(jnp.int32).reshape(1, 1)
+    seed = _seed_words(key)
 
     in_specs = [
-        pl.BlockSpec((1, 1), lambda c, g: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda c, g: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((TG, n, p), lambda c, g: (g, 0, 0)),
         pl.BlockSpec((TG, n), lambda c, g: (g, 0)),
         pl.BlockSpec((TG, n), lambda c, g: (g, 0)),

@@ -79,6 +79,30 @@ class Posterior:
             jnp.min(jnp.stack([jnp.min(v[kind]) for v in d.values()]))
         )
 
+    def min_ess_argmin(self, kind: str = "ess_bulk") -> dict | None:
+        """Identify the ESS floor: which block/scalar has the minimum ESS.
+
+        Returns {'block', 'index' (unraveled tuple within the block's
+        param shape), 'ess'} — the actionable target for mixing work
+        (VERDICT r2 item 2: an unattributed floor is not a target)."""
+        d = self.diagnostics()
+        if not d:
+            return None
+        best = None
+        for name, stats in d.items():
+            e = np.asarray(stats[kind])
+            idx = int(np.argmin(e))
+            val = float(e.ravel()[idx])
+            if best is None or val < best["ess"]:
+                best = {
+                    "block": name,
+                    "index": tuple(
+                        int(i) for i in np.unravel_index(idx, e.shape)
+                    ),
+                    "ess": val,
+                }
+        return best
+
     def mean(self, name: str):
         x = self.draws[name]
         return jnp.mean(x.reshape((-1,) + x.shape[2:]), axis=0)

@@ -163,10 +163,14 @@ def _mala_100k(seed: int, scale: float):
     # 45k, 256 -> 55k, 512 -> 63k (worst R-hat 1.0026 throughout).
     cfg = SamplerConfig(
         kernel=KernelConfig(algorithm="mala"),
+        # 1500/4096: the converged schedule (worst split R-hat 1.0026,
+        # artifact mala-100k_a41740d_20260817_074655) — `--preset
+        # mala-100k` must reproduce the committed artifact with no
+        # overrides (VERDICT r2 item 5). ~160 s sampling at 512 chains.
         run=RunConfig(
             chains=512 if scale >= 1.0 else 16,
-            warmup=max(50, int(300 * scale)),
-            draws=max(50, int(256 * scale)),
+            warmup=max(50, int(1500 * scale)),
+            draws=max(50, int(4096 * scale)),
             seed=seed,
             collect={"mu": None, "log_tau": None, "beta": 8},
         ),
