@@ -61,6 +61,7 @@ def main() -> int:
     # block was the ESS floor) at equal sweep cost; the fused single-kernel
     # MALA step adds ~2.5% sweeps/s. Both on by default, env-overridable.
     tau_prior = os.environ.get("NESTMC_BENCH_TAU_PRIOR", "invgamma")
+    asis_repeats = int(os.environ.get("NESTMC_BENCH_ASIS_REPEATS", 1))
     fused = os.environ.get("NESTMC_BENCH_FUSED", "1") == "1"
     fused_sweep = os.environ.get("NESTMC_BENCH_FUSED_SWEEP", "0") == "1"
     cfg = SamplerConfig(
@@ -81,7 +82,9 @@ def main() -> int:
         ),
         sharding=ShardingConfig(chain_shards=n_dev),
     )
-    model = make_hier_logistic(data, tau_prior=tau_prior)
+    model = make_hier_logistic(
+        data, tau_prior=tau_prior, asis_repeats=asis_repeats
+    )
 
     t0 = time.perf_counter()
     post = sample(model, data, cfg)

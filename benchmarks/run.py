@@ -70,6 +70,12 @@ def run_preset(
         else "collected",
         "ess_per_sec_per_chip": post.total_ess() / sample_s / n_chips,
         "min_ess_per_sec_per_chip": post.min_ess() / sample_s / n_chips,
+        # SURVEY section 3.5's original convention (warmup IN the
+        # denominator) alongside the fixed sampling-phase convention; the
+        # two diverge by >10x on small configs where warmup wall time is
+        # dominated by axon first-execution variance (VERDICT r2 weak #2)
+        "ess_per_sec_per_chip_incl_warmup":
+            post.total_ess() / hot_s / n_chips,
         "sweeps_per_sec": total_sweeps / max(hot_s, 1e-9),
         "accept_rates": {
             k: float(v.mean()) for k, v in post.accept_rates.items()

@@ -124,6 +124,7 @@ def make_hier_logistic(
     tau_prior: str = "halfnormal",
     tau_ig_shape: float = 2.0,
     tau_ig_scale: float = 0.5,
+    asis_repeats: int = 1,
 ) -> ModelSpec:
     """tau_prior: 'halfnormal' (tau ~ HN(prior_tau_scale), per-coordinate
     MH on log tau) or 'invgamma' (tau^2 ~ InvGamma(shape, scale): log_tau
@@ -132,7 +133,8 @@ def make_hier_logistic(
     7x the tau ESS of half-normal + MH). The ASIS interweaving move stays
     in both variants: the conjugate draw targets tau | beta exactly but is
     still pinned to beta's empirical spread; interweaving breaks that
-    coupling."""
+    coupling. asis_repeats: ASIS move repetitions per sweep (each costs
+    one likelihood pass; tau mixing sets the min-ESS floor)."""
     G = data.num_groups
     p = data.num_covariates
     if tau_prior not in ("halfnormal", "invgamma"):
@@ -479,6 +481,11 @@ def make_hier_logistic(
             **({"log_tau": gibbs_log_tau} if conj_tau else {}),
         },
         joint_moves={"asis_tau": asis_tau_move},
+        # each repeat costs one obs-pass likelihood eval (~half the sweep);
+        # tau mixing is the min-ESS floor on the judged config, so extra
+        # interweaving repeats trade sweep cost for tau ESS/sweep
+        # (measured A/B: BASELINE.md round 3)
+        joint_move_repeats={"asis_tau": max(1, int(asis_repeats))},
         # The ASIS log-alpha sums likelihood deltas over all G groups, so
         # the optimal step is ~ (p G)^(-1/2) (Fisher info grows linearly in
         # G): at G=100k a 0.1 start left the move at 1.6% acceptance for

@@ -67,12 +67,19 @@ def make_nested_poisson(
     tau_prior: str = "halfnormal",
     tau_ig_shape: float = 2.0,
     tau_ig_scale: float = 0.25,
+    asis_tau_g_repeats: int = 4,
+    asis_tau_s_repeats: int = 2,
 ) -> ModelSpec:
     """tau_prior: 'halfnormal' (tau ~ HN(prior_tau_scale), per-coordinate
     MH on log tau) or 'invgamma' (tau^2 ~ InvGamma(shape, scale): the taus
     become EXACT conjugate Gibbs draws given the level below — the
     normal-inverse-gamma conjugate update of SURVEY.md section 3.2 — which
-    removes the scale blocks from the mixing budget entirely)."""
+    removes the scale blocks from the mixing budget entirely).
+
+    asis_tau_g_repeats / asis_tau_s_repeats: interweaving-move repetitions
+    per sweep. tau_g's move is O(C S p) elementwise (touches no data, so
+    repeats are nearly free) and log_tau_g is the slowest mode at config-3
+    scale; tau_s's move costs one obs-likelihood pass per repeat."""
     S = data.num_subjects
     G = data.num_groups
     p = data.num_covariates
@@ -434,7 +441,10 @@ def make_nested_poisson(
         },
         # tau_g interweaving touches no data (O(C S p) elementwise) — repeat
         # it; tau_s interweaving costs one likelihood eval, repeat modestly
-        joint_move_repeats={"asis_tau_g": 4, "asis_tau_s": 2},
+        joint_move_repeats={
+            "asis_tau_g": max(1, int(asis_tau_g_repeats)),
+            "asis_tau_s": max(1, int(asis_tau_s_repeats)),
+        },
         # size-aware starts: each move's log-alpha sums over S subject-prior
         # terms (tau_g) / all N=sum(mask) obs-likelihood terms (tau_s), so
         # optimal steps shrink like the inverse square root of those counts

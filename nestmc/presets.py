@@ -53,11 +53,14 @@ def _hier_logistic_100(seed: int, scale: float):
     # big scan segments: this tiny model sweeps at ~7000/s on-chip, so
     # per-segment host syncs through the remote tunnel dominate wall time
     # at the default segment_size=500
+    # 1500/4096: the converged schedule (worst split R-hat 1.0052,
+    # artifact hier-logistic-100_eee2cb2) — the preset reproduces the
+    # committed artifact with no overrides
     cfg = SamplerConfig(
         run=RunConfig(
             chains=64,
-            warmup=max(50, int(500 * scale)),
-            draws=max(50, int(1000 * scale)),
+            warmup=max(50, int(1500 * scale)),
+            draws=max(50, int(4096 * scale)),
             seed=seed,
             segment_size=4096,
             collect={"mu": None, "log_tau": None, "beta": 16},
@@ -134,10 +137,12 @@ def _ragged_10k(seed: int, scale: float):
         # fits 1024 chains on one chip, unlike the round-1 vjp-through-
         # gather that OOMed and forced an RW fallback.
         kernel=KernelConfig(algorithm="mala"),
+        # 800/2048: the converged schedule (worst split R-hat 1.0091,
+        # artifact ragged-10k_19eb866)
         run=RunConfig(
             chains=1024 if scale >= 1.0 else 8 * max(n_dev, 1),
-            warmup=max(50, int(600 * scale)),
-            draws=max(50, int(1024 * scale)),
+            warmup=max(50, int(800 * scale)),
+            draws=max(50, int(2048 * scale)),
             seed=seed,
             segment_size=512,
             collect={"mu": None, "log_tau": None, "beta": 8},

@@ -132,6 +132,7 @@ def test_roundtrip_layout():
     )
 
 
+@pytest.mark.slow
 def test_engine_integration_matches_unfused():
     model, data, cfg = _setup(C=8, G=21, n=9, p=3)
     cfg = dataclasses.replace(cfg, run=dataclasses.replace(

@@ -15,6 +15,7 @@ _AUX = {"gaussian": "log_sigma", "negbin": "log_r"}
 
 @pytest.mark.parametrize("family", ["gaussian", "binomial", "poisson",
                                     "negbin"])
+@pytest.mark.slow
 def test_glm_recovers_truth(family):
     data, truth = synth_glm(
         jax.random.key(1), family=family, G=60, n=25, p=3

@@ -28,6 +28,7 @@ def _run(model, data, seed=2):
     return sample(model, data, cfg)
 
 
+@pytest.mark.slow
 def test_conjugate_tau_matches_mh_tau(setup):
     data, _ = setup
     conj = make_hier_logistic(

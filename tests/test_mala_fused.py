@@ -6,6 +6,7 @@ Full trajectories diverge chaotically from ~1e-5 kernel reassociation noise
 statistically (posterior moments within Monte-Carlo tolerance).
 """
 
+import pytest
 import dataclasses
 
 import numpy as np
@@ -49,6 +50,7 @@ def test_one_step_alphas_match():
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_long_runs_statistically_agree():
     data, fused, plain = _models()
     cfg = SamplerConfig(

@@ -31,6 +31,7 @@ def _run(model, data, seed=2):
     return sample(model, data, cfg)
 
 
+@pytest.mark.slow
 def test_conjugate_beta_g_matches_mh(setup):
     """The exact conjugate draw of beta_g must target the same posterior as
     plain per-unit MH on beta_g (statistical agreement of moments)."""
@@ -50,6 +51,7 @@ def test_conjugate_beta_g_matches_mh(setup):
         assert np.all(np.abs(ma - mb) < tol), (k, ma, mb, tol)
 
 
+@pytest.mark.slow
 def test_conjugate_tau_matches_mh_tau(setup):
     """Under the inverse-gamma prior, exact conjugate tau draws must target
     the same posterior as per-coordinate MH on log tau."""
