@@ -54,6 +54,29 @@ def test_custom_statistic(fit):
     assert 0.0 <= pval <= 1.0
 
 
+def test_partial_collection_of_unread_blocks_ok():
+    """Blocks the simulator never reads (mu, log_tau for hier_logistic —
+    sample_data reads only beta) may be partially collected; only READ
+    blocks must be full (VERDICT r2 item 10)."""
+    data, _ = synth_logistic(jax.random.key(5), G=20, n=10, p=2)
+    model = make_hier_logistic(data, loglik_impl="jnp")
+    post = sample(model, data, SamplerConfig(run=RunConfig(
+        chains=4, warmup=100, draws=100, log_every_segment=False,
+        collect={"beta": None, "mu": None, "log_tau": 1},
+    )))
+    y_rep = posterior_predictive(model, post, data,
+                                 jax.random.key(3), num=8)
+    assert y_rep.shape == (8,) + data.y.shape
+
+    # a partially collected READ block raises the informative error
+    post2 = sample(model, data, SamplerConfig(run=RunConfig(
+        chains=4, warmup=100, draws=100, log_every_segment=False,
+        collect={"beta": 4, "mu": None, "log_tau": None},
+    )))
+    with pytest.raises(ValueError, match="fully collected"):
+        posterior_predictive(model, post2, data, jax.random.key(3), num=8)
+
+
 def test_requires_simulator():
     import dataclasses
 
