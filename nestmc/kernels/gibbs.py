@@ -23,6 +23,26 @@ from nestmc.model import ModelSpec
 _UPDATES = {"rwmh": rwmh_update, "mala": mala_update}
 
 
+def grad_cache_live(model: ModelSpec, cfg: SamplerConfig) -> bool:
+    """True when some cond_cached_grad block runs MALA, so the carried
+    cache holds {'v','g'} and gradient-aware joint moves (Langevin ASIS)
+    engage."""
+    return any(
+        (b.algorithm or cfg.kernel.algorithm) == "mala"
+        and b.name in model.cond_cached_grad
+        for b in model.blocks
+        if b.name not in model.gibbs_draws
+    )
+
+
+def joint_move_target(model: ModelSpec, mname: str,
+                      cfg: SamplerConfig) -> float:
+    t = model.joint_move_target_accept.get(mname, 0.234)
+    if t == "auto":
+        t = MALA_TARGET_ACCEPT if grad_cache_live(model, cfg) else 0.234
+    return float(t)
+
+
 def block_target_accept(block, algorithm: str, cfg: SamplerConfig) -> float:
     if block.target_accept is not None:
         return block.target_accept
@@ -121,7 +141,8 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
             accept_sum[mname] = accept_sum[mname] + alpha
             if adapt:
                 log_scale[mname] = adapt_log_scale(
-                    log_scale[mname], alpha, t, 0.234, cfg.kernel
+                    log_scale[mname], alpha, t,
+                    joint_move_target(model, mname, cfg), cfg.kernel,
                 )
 
         return KernelState(

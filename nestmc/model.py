@@ -152,6 +152,13 @@ class ModelSpec:
     # s ~ G^(-1/2); Robbins-Monro takes O(100) sweeps per decade of scale
     # error, so a size-aware start is what makes short warmups viable.
     joint_move_init_scale: dict = dataclasses.field(default_factory=dict)
+    # {move_name: target}: acceptance target for the move's scale
+    # adaptation. A float is used as-is (default 0.234, the RW optimum);
+    # the string 'auto' resolves at kernel-build time to the MALA optimum
+    # (0.574) when the move runs as a Langevin proposal — i.e. when some
+    # cond_cached_grad block runs MALA so the carried gradient cache the
+    # move keys its drift off is live — and 0.234 otherwise.
+    joint_move_target_accept: dict = dataclasses.field(default_factory=dict)
     # {block_name: fn(key, position, cache, log_scale, data) ->
     #  (new_value, new_cache, alpha)} single-kernel fused RW-MH updates
     # (propose+lik+accept in one Pallas pass); engaged only when

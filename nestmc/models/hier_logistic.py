@@ -164,6 +164,14 @@ def make_hier_logistic(
             )
         return logpdf_halfnormal(jnp.exp(lt), prior_tau_scale) + lt
 
+    def _tau_logprior_grad(lt):
+        """d/d(log tau) of _tau_logprior, elementwise (analytic; drives
+        the Langevin drift of the gradient ASIS move)."""
+        if conj_tau:
+            a, b = tau_ig_shape, tau_ig_scale
+            return -2.0 * a + 2.0 * b * jnp.exp(-2.0 * lt)
+        return 1.0 - jnp.exp(2.0 * lt) / prior_tau_scale**2
+
     def _gprior(state):
         beta = state["beta"]                      # (C, G, p)
         mu = state["mu"][:, None, :]              # (C, 1, p)
@@ -315,30 +323,62 @@ def make_hier_logistic(
         cache). Target ratio with z fixed:
           lik(beta') - lik(beta) + log p(tau') - log p(tau)  (+ Jacobians)
         (the z-prior is unchanged by construction).
+
+        When the MALA gradient cache is live (``cache['beta']`` holds
+        {'v','g'}) the proposal upgrades from random-walk to LANGEVIN on the
+        z-fixed target F(lt) = sum_g lik_g(mu + e^lt z) + log p(lt): the
+        chain rule gives F'(lt)_k = sum_g dlik/dbeta_gk (beta_gk - mu_k)
+        + d log p/d lt_k, so the drift at the current point reads the
+        CARRIED gradient (zero extra obs passes — grad at the proposal is
+        computed anyway to refresh the cache) and the asymmetric-proposal
+        q-correction uses both. Validated one-step against autodiff of the
+        joint (tests/test_asis_grad.py) and by the Geweke grad-ASIS tier
+        incl. a dropped-q power check (tests/test_geweke.py).
         """
         k1, k2 = jax.random.split(key)
         beta, mu, lt = position["beta"], position["mu"], position["log_tau"]
         C = lt.shape[0]
         eps = jax.random.normal(k1, lt.shape, lt.dtype)
-        lt_new = lt + scale * eps                      # (C, p)
-        ratio = jnp.exp(lt_new - lt)[:, None, :]       # tau'/tau
-        beta_new = mu[:, None, :] + (beta - mu[:, None, :]) * ratio
+        diff = beta - mu[:, None, :]                   # tau * z, (C, G, p)
         lik_cache = cache.get("beta")
         grad_mode = isinstance(lik_cache, dict)        # MALA grad cache
         if grad_mode:
+            s2 = scale * scale                         # (C, 1)
+            g_old = (
+                jnp.sum(lik_cache["g"] * diff, axis=1)
+                + _tau_logprior_grad(lt)
+            )                                          # (C, p)
+            lt_new = lt + 0.5 * s2 * g_old + scale * eps
+        else:
+            lt_new = lt + scale * eps                  # (C, p)
+        ratio = jnp.exp(lt_new - lt)[:, None, :]       # tau'/tau
+        beta_new = mu[:, None, :] + diff * ratio
+        if grad_mode:
             lik_old = lik_cache["v"]
             lik_new, grad_new = lik_value_and_grad(beta_new, data)
+            g_new = (
+                jnp.sum(grad_new * diff * ratio, axis=1)
+                + _tau_logprior_grad(lt_new)
+            )
+            fwd = lt_new - lt - 0.5 * s2 * g_old       # = scale * eps
+            rev = lt - lt_new - 0.5 * s2 * g_new
+            q_corr = jnp.sum(fwd * fwd - rev * rev, axis=-1) / (
+                2.0 * s2[:, 0]
+            )
         else:
             lik_new = lik_fn(beta_new, data)           # (C, G)
             lik_old = lik_cache
             if lik_old is None:
                 lik_old = lik_fn(beta, data)
+            q_corr = 0.0
         prior_delta = jnp.sum(
             _tau_logprior(lt_new) + log_scale_guard(lt_new)
             - _tau_logprior(lt),
             axis=-1,
         )
-        log_alpha = jnp.sum(lik_new - lik_old, axis=-1) + prior_delta
+        log_alpha = (
+            jnp.sum(lik_new - lik_old, axis=-1) + prior_delta + q_corr
+        )
         logu = jnp.log(jax.random.uniform(
             k2, (C,), lt.dtype, minval=jnp.finfo(lt.dtype).tiny
         ))
@@ -448,7 +488,7 @@ def make_hier_logistic(
 
         fused_sweep = make_fused_sweep_factory(
             G, p, prior_mu_scale, tau_ig_shape, tau_ig_scale,
-            _tau_logprior, log_scale_guard,
+            _tau_logprior, log_scale_guard, _tau_logprior_grad,
         )
 
     return ModelSpec(
@@ -494,6 +534,9 @@ def make_hier_logistic(
         joint_move_init_scale={
             "asis_tau": 2.38 / math.sqrt(p * max(G, 1)),
         },
+        # RW optimum under rwmh; the MALA optimum once the grad cache
+        # makes the move Langevin (resolved by kernels/gibbs.py)
+        joint_move_target_accept={"asis_tau": "auto"},
         fused_updates=(
             {} if isinstance(data, RaggedData)
             else {"beta": fused_beta_update}

@@ -56,6 +56,7 @@ class FusedLogisticSweep:
     def __init__(self, cfg: SamplerConfig, G: int, p: int,
                  prior_mu_scale: float, tau_ig_shape: float,
                  tau_ig_scale: float, tau_logprior, guard,
+                 tau_logprior_grad,
                  interpret: bool = False, external_noise: bool = False,
                  dense: bool = False):
         self.cfg = cfg
@@ -66,6 +67,7 @@ class FusedLogisticSweep:
         self.tau_ig_scale = tau_ig_scale
         self._tau_logprior = tau_logprior
         self._guard = guard
+        self._tau_logprior_grad = tau_logprior_grad
         self.interpret = interpret
         # dense: the pre-pad data mask is all ones, so the obs-pass
         # kernels skip per-element mask multiplies (pad rows still gated
@@ -238,13 +240,23 @@ class FusedLogisticSweep:
         acc_sum["log_tau"] = acc_sum["log_tau"] + 1.0
 
         # --- ASIS interweaving move (models/hier_logistic.py
-        #     asis_tau_move; key path kernels/gibbs.py:110,113) ---
+        #     asis_tau_move; key path kernels/gibbs.py:110,113).
+        #     LANGEVIN, mirroring the unfused grad-mode move: the drift at
+        #     the current point reads the CARRIED likelihood gradient g
+        #     (sum_g g . (beta - mu) is an O(Gp p C) elementwise-reduce,
+        #     XLA-side — no extra obs pass), the drift at the proposal
+        #     reads asis_eval_t's g_new output. ---
         km = jax.random.fold_in(key_sweep, 1000)
         kmr = jax.random.fold_in(km, 0)
         k1, k2 = jax.random.split(kmr)
         eps_a = jax.random.normal(k1, (self._C, p), dtype).T   # (p, C)
         scale_asis = jnp.exp(ls["asis_tau"]).T                 # (1, C)
-        lt_prop = lt + scale_asis * eps_a
+        s2_asis = scale_asis * scale_asis
+        diff = beta - mu[None]                                 # (Gp, p, C)
+        g_lt = (
+            jnp.sum(g * diff, axis=0) + self._tau_logprior_grad(lt)
+        )                                                      # (p, C)
+        lt_prop = lt + 0.5 * s2_asis * g_lt + scale_asis * eps_a
         ratio = jnp.exp(lt_prop - lt)                          # (p, C)
         prior_delta = jnp.sum(
             self._tau_logprior(lt_prop) + self._guard(lt_prop)
@@ -264,7 +276,16 @@ class FusedLogisticSweep:
             beta, v, mu, ratio, data.x, data.y, data.mask,
             interpret=self.interpret, dense=self.dense,
         )
-        log_alpha = dsum[0] + prior_delta
+        g_lt_new = (
+            jnp.sum(g_new * diff * ratio[None], axis=0)
+            + self._tau_logprior_grad(lt_prop)
+        )                                                      # (p, C)
+        fwd = lt_prop - lt - 0.5 * s2_asis * g_lt
+        rev = lt - lt_prop - 0.5 * s2_asis * g_lt_new
+        q_corr = jnp.sum(fwd * fwd - rev * rev, axis=0) / (
+            2.0 * s2_asis[0]
+        )                                                      # (C,)
+        log_alpha = dsum[0] + prior_delta + q_corr
         accept = logu < log_alpha                              # NaN -> F
         beta, v, g = asis_select_t(
             beta, v, g, lik_new, g_new, mu, ratio,
@@ -278,8 +299,10 @@ class FusedLogisticSweep:
         )[:, None]                                             # (C, 1)
         acc_sum["asis_tau"] = acc_sum["asis_tau"] + alpha_a
         if adapt:
+            # MALA target: the factory only engages for algorithm='mala',
+            # where the unfused path's 'auto' resolves to the same
             ls["asis_tau"] = adapt_log_scale(
-                ls["asis_tau"], alpha_a, t, 0.234, cfg.kernel
+                ls["asis_tau"], alpha_a, t, MALA_TARGET_ACCEPT, cfg.kernel
             )
 
         pos["beta"], pos["mu"], pos["log_tau"] = beta, mu, lt
@@ -291,7 +314,8 @@ class FusedLogisticSweep:
 
 
 def make_fused_sweep_factory(G, p, prior_mu_scale, tau_ig_shape,
-                             tau_ig_scale, tau_logprior, guard):
+                             tau_ig_scale, tau_logprior, guard,
+                             tau_logprior_grad):
     """ModelSpec.fused_sweep hook for the invgamma-tau hierarchical
     logistic model over padded data. Returns None when the config is
     outside the fused sweep's envelope (the engine then runs the op-by-op
@@ -327,7 +351,7 @@ def make_fused_sweep_factory(G, p, prior_mu_scale, tau_ig_shape,
 
         return FusedLogisticSweep(
             cfg, G, p, prior_mu_scale, tau_ig_shape, tau_ig_scale,
-            tau_logprior, guard,
+            tau_logprior, guard, tau_logprior_grad,
             interpret=interpret, external_noise=external_noise,
             dense=bool(np.asarray(data.mask).all()),
         )

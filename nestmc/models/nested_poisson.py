@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
+from nestmc.config import MALA_TARGET_ACCEPT
 from nestmc.data import NestedData3
 from nestmc.distributions import (
     log_scale_guard,
@@ -107,6 +108,14 @@ def make_nested_poisson(
                 + jnp.log(2.0) + 2.0 * lt
             )
         return logpdf_halfnormal(jnp.exp(lt), prior_tau_scale) + lt
+
+    def _tau_logprior_grad(lt):
+        """d/d(log tau) of _tau_logprior, elementwise (analytic; drives
+        the Langevin drift of the interweaving moves)."""
+        if conj_tau:
+            a, b = tau_ig_shape, tau_ig_scale
+            return -2.0 * a + 2.0 * b * jnp.exp(-2.0 * lt)
+        return 1.0 - jnp.exp(2.0 * lt) / prior_tau_scale**2
 
     def _sprior(state, d):
         # beta_s | beta_g: (C, S)
@@ -256,22 +265,51 @@ def make_nested_poisson(
         with z_g fixed. beta_s is unchanged, so the data likelihood is
         untouched — the target ratio is the subject-prior change (beta_s |
         beta_g') plus the tau_g prior/Jacobian. O(C S p) elementwise, no
-        likelihood evaluation."""
+        likelihood evaluation.
+
+        ALWAYS a Langevin proposal: the z-fixed target's gradient is
+        analytic Gaussian algebra (no data touch), F'(lt)_k =
+        sum_s (beta_s - beta_g')_sk / tau_s^2 * (beta_g'(s) - mu)_sk
+        + d log p(tau_g)/d lt_k, so the drift costs the same O(C S p)
+        elementwise pass the acceptance already pays. Validated one-step
+        against autodiff of the joint (tests/test_asis_grad3.py) and by
+        the Geweke-3 tier."""
         k1, k2 = jax.random.split(key)
         bg, mu, lt = position["beta_g"], position["mu"], position["log_tau_g"]
+        bs, lts = position["beta_s"], position["log_tau_s"]
         C = lt.shape[0]
-        lt_new = lt + scale * jax.random.normal(k1, lt.shape, lt.dtype)
+        inv_ts2 = jnp.exp(-2.0 * lts)[:, None, :]      # (C, 1, p)
+        diff_g = bg - mu[:, None, :]                   # tau_g * z, (C, G, p)
+
+        def _quad_and_grad(bg_eff):
+            """(Σ_s -dev²/2τs² (C,), d/d lt_k (C, p)) — the lt-dependent
+            part of the subject prior; the -S log tau_s terms are constant
+            across the move and cancel in differences."""
+            bg_s = jnp.take(bg_eff, data_.subject_group, axis=1)
+            dev = bs - bg_s
+            val = jnp.sum(-0.5 * dev * dev * inv_ts2, axis=(1, 2))
+            grad = jnp.sum(
+                dev * inv_ts2 * (bg_s - mu[:, None, :]), axis=1
+            )
+            return val, grad
+
+        s2 = scale * scale                             # (C, 1)
+        val_old, gq_old = _quad_and_grad(bg)
+        g_old = gq_old + _tau_logprior_grad(lt)        # (C, p)
+        eps = jax.random.normal(k1, lt.shape, lt.dtype)
+        lt_new = lt + 0.5 * s2 * g_old + scale * eps
         ratio = jnp.exp(lt_new - lt)[:, None, :]
-        bg_new = mu[:, None, :] + (bg - mu[:, None, :]) * ratio
-        sp_old = jnp.sum(_sprior(position, data_), axis=-1)
-        sp_new = jnp.sum(
-            _sprior({**position, "beta_g": bg_new}, data_), axis=-1
-        )
+        bg_new = mu[:, None, :] + diff_g * ratio
+        val_new, gq_new = _quad_and_grad(bg_new)
+        g_new = gq_new + _tau_logprior_grad(lt_new)
+        fwd = lt_new - lt - 0.5 * s2 * g_old           # = scale * eps
+        rev = lt - lt_new - 0.5 * s2 * g_new
+        q_corr = jnp.sum(fwd * fwd - rev * rev, axis=-1) / (2.0 * s2[:, 0])
         prior_delta = jnp.sum(
             _tau_logprior(lt_new) + log_scale_guard(lt_new)
             - _tau_logprior(lt), axis=-1,
         )
-        log_alpha = sp_new - sp_old + prior_delta
+        log_alpha = val_new - val_old + prior_delta + q_corr
         logu = jnp.log(jax.random.uniform(
             k2, (C,), lt.dtype, minval=jnp.finfo(lt.dtype).tiny
         ))
@@ -289,30 +327,57 @@ def make_nested_poisson(
     def asis_tau_s_move(key, position, cache, scale, data_):
         """ASIS interweaving for (tau_s, beta_s): rescale beta_s about its
         group mean with z_s fixed. Changes beta_s, so one likelihood
-        evaluation (refreshing the carried cache)."""
+        evaluation (refreshing the carried cache).
+
+        With the MALA gradient cache live ({'v','g'}) the proposal is
+        LANGEVIN on the z-fixed target, drift from the carried likelihood
+        gradient: F'(lt)_k = sum_s dlik/dbeta_sk (beta_s - beta_g(s))_sk
+        + d log p(tau_s)/d lt_k — zero extra obs passes (the proposal-side
+        gradient refreshes the cache anyway). One-step-validated against
+        autodiff (tests/test_asis_grad3.py)."""
         k1, k2 = jax.random.split(key)
         bs, lt = position["beta_s"], position["log_tau_s"]
         C = lt.shape[0]
         bg_s = jnp.take(position["beta_g"], data_.subject_group, axis=1)
-        lt_new = lt + scale * jax.random.normal(k1, lt.shape, lt.dtype)
-        ratio = jnp.exp(lt_new - lt)[:, None, :]
-        bs_new = bg_s + (bs - bg_s) * ratio
+        diff = bs - bg_s                               # tau_s * z, (C, S, p)
+        eps = jax.random.normal(k1, lt.shape, lt.dtype)
         lik_cache = cache.get("beta_s")
         grad_mode = isinstance(lik_cache, dict)
         if grad_mode:
+            s2 = scale * scale                         # (C, 1)
+            g_old = (
+                jnp.sum(lik_cache["g"] * diff, axis=1)
+                + _tau_logprior_grad(lt)
+            )                                          # (C, p)
+            lt_new = lt + 0.5 * s2 * g_old + scale * eps
+        else:
+            lt_new = lt + scale * eps
+        ratio = jnp.exp(lt_new - lt)[:, None, :]
+        bs_new = bg_s + diff * ratio
+        if grad_mode:
             lik_old = lik_cache["v"]
             lik_new, grad_new = lik_value_and_grad(bs_new, data_)
+            g_new = (
+                jnp.sum(grad_new * diff * ratio, axis=1)
+                + _tau_logprior_grad(lt_new)
+            )
+            fwd = lt_new - lt - 0.5 * s2 * g_old       # = scale * eps
+            rev = lt - lt_new - 0.5 * s2 * g_new
+            q_corr = jnp.sum(fwd * fwd - rev * rev, axis=-1) / (
+                2.0 * s2[:, 0]
+            )
         else:
             lik_new = _lik(bs_new, data_)
             lik_old = lik_cache
             if lik_old is None:
                 lik_old = _lik(bs, data_)
+            q_corr = 0.0
         prior_delta = jnp.sum(
             _tau_logprior(lt_new) + log_scale_guard(lt_new)
             - _tau_logprior(lt), axis=-1,
         )
         log_alpha = (
-            jnp.sum(lik_new - lik_old, axis=-1) + prior_delta
+            jnp.sum(lik_new - lik_old, axis=-1) + prior_delta + q_corr
         )
         logu = jnp.log(jax.random.uniform(
             k2, (C,), lt.dtype, minval=jnp.finfo(lt.dtype).tiny
@@ -453,6 +518,12 @@ def make_nested_poisson(
             "asis_tau_s": 2.38 / math.sqrt(
                 p * max(int(jnp.sum(data.mask)), 1)
             ),
+        },
+        joint_move_target_accept={
+            # tau_g's move is Langevin unconditionally (analytic gradient)
+            "asis_tau_g": MALA_TARGET_ACCEPT,
+            # tau_s upgrades to Langevin only when the grad cache is live
+            "asis_tau_s": "auto",
         },
     )
 

@@ -20,7 +20,16 @@ TAU0 = 1.5
 SIGMA = 1.0
 
 
-def make_calibration_model(G: int, n: int) -> ModelSpec:
+def make_calibration_model(
+    G: int, n: int, grad_asis=False, asis_init_scale: float = 0.1,
+) -> ModelSpec:
+    """grad_asis: False = random-walk ASIS move (production default in
+    plain-RW mode); True = LANGEVIN (MALA) ASIS move with analytic
+    gradients — validates the gradient-interweaving MH ratio that
+    models/hier_logistic.py uses when the MALA grad cache is live;
+    "broken-q" = Langevin proposal WITHOUT the asymmetric-proposal
+    correction (power check: Geweke must detect it)."""
+
     def _lik(state, data):
         # data["y"]: (C, G, n); theta: (C, G)
         return jnp.sum(
@@ -107,6 +116,70 @@ def make_calibration_model(G: int, n: int) -> ModelSpec:
         )
         return pos_up, {}, alpha
 
+    def asis_tau_move_grad(key, position, cache, scale, data):
+        """Langevin (MALA) version of the interweaving move: same
+        z-fixed target F(lt) = sum_g lik_g(mu + e^lt z) + log p(lt),
+        proposal lt' = lt + (s^2/2) F'(lt) + s eps with the asymmetric
+        q-correction. F' by the chain rule through theta' = mu + e^lt z:
+          F'(lt) = sum_g dlik/dtheta_g * (theta_g - mu) + d log p/d lt
+        with dlik/dtheta_g = sum_i (y_gi - theta_g)/sigma^2 analytic here
+        (so the test validates the FORMULA, independent of autodiff)."""
+        k1, k2 = jax.random.split(key)
+        theta, mu, lt = (
+            position["theta"], position["mu"], position["log_tau"],
+        )
+        C = lt.shape[0]
+        s = scale[:, 0]                                 # (C,)
+        s2 = s * s
+        eps = jax.random.normal(k1, lt.shape, lt.dtype)
+        diff = theta - mu[:, None]                      # tau*z, (C, G)
+
+        def _glt(ltv, diffv):
+            th = mu[:, None] + diffv
+            glik = jnp.sum(
+                (data["y"] - th[:, :, None]) / SIGMA**2, axis=-1
+            )                                           # (C, G)
+            return (
+                jnp.sum(glik * diffv, axis=-1)
+                + 1.0 - jnp.exp(2.0 * ltv) / TAU0**2
+            )
+
+        g_old = _glt(lt, diff)
+        lt_new = lt + 0.5 * s2 * g_old + s * eps
+        ratio = jnp.exp(lt_new - lt)[:, None]
+        diff_new = diff * ratio
+        theta_new = mu[:, None] + diff_new
+        g_new = _glt(lt_new, diff_new)
+        fwd = lt_new - lt - 0.5 * s2 * g_old            # = s * eps
+        rev = lt - lt_new - 0.5 * s2 * g_new
+        q_corr = (fwd * fwd - rev * rev) / (2.0 * s2)
+        if grad_asis == "broken-q":
+            q_corr = jnp.zeros_like(q_corr)
+        lik_old = jnp.sum(_lik({**position}, data), axis=-1)
+        lik_new = jnp.sum(
+            _lik({**position, "theta": theta_new}, data), axis=-1
+        )
+        tau, tau_new = jnp.exp(lt), jnp.exp(lt_new)
+        prior_delta = (
+            logpdf_halfnormal(tau_new, TAU0) + lt_new
+            - logpdf_halfnormal(tau, TAU0) - lt
+        )
+        log_alpha = lik_new - lik_old + prior_delta + q_corr
+        logu = jnp.log(jax.random.uniform(
+            k2, (C,), lt.dtype, minval=jnp.finfo(lt.dtype).tiny
+        ))
+        accept = logu < log_alpha
+        pos_up = {
+            "theta": jnp.where(accept[:, None], theta_new, theta),
+            "log_tau": jnp.where(accept, lt_new, lt),
+        }
+        alpha = jnp.where(
+            jnp.isnan(log_alpha), 0.0,
+            jnp.exp(jnp.minimum(log_alpha, 0.0)),
+        )
+        return pos_up, {}, alpha
+
+    move = asis_tau_move_grad if grad_asis else asis_tau_move
     return ModelSpec(
         name="calibration_hier_normal",
         blocks=(
@@ -118,7 +191,8 @@ def make_calibration_model(G: int, n: int) -> ModelSpec:
         joint_logdensity=joint,
         init_state=init_state,
         prior_sample=prior_sample,
-        joint_moves={"asis_tau": asis_tau_move},
+        joint_moves={"asis_tau": move},
+        joint_move_init_scale={"asis_tau": asis_init_scale},
     )
 
 

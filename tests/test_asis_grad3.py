@@ -1,0 +1,149 @@
+"""One-step exactness of nested_poisson's Langevin interweaving moves.
+
+Same contract as tests/test_asis_grad.py: the move's acceptance
+probability is reproduced independently from the public joint density.
+For the (tau_g, beta_g) interweave with z_g = (beta_g - mu)/tau_g fixed,
+
+    F(lt') = joint({beta_g: mu + e^{lt'} z_g, log_tau_g: lt'})
+             + G * sum_k lt'_k
+
+(beta_s fixed, so the obs likelihood cancels in differences; the
+group-prior + Jacobian term is constant by construction). The tau_s
+analog uses S * sum_k lt'_k and rescales beta_s about its group means.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nestmc.models.nested_poisson import make_nested_poisson, synth_poisson3
+
+C = 8
+
+
+def _setup(tau_prior):
+    data, _ = synth_poisson3(
+        jax.random.key(7), G=12, subjects_per_group=4, n=6, p=3
+    )
+    model = make_nested_poisson(
+        data, loglik_impl="jnp", tau_prior=tau_prior
+    )
+    position = model.init_state(jax.random.key(8), data, C)
+    return data, model, position
+
+
+def _mala_ref(F, lt, scale, key):
+    """Reference MALA acceptance on target F from the same key split."""
+    gF = jax.grad(lambda v: jnp.sum(F(v)))
+    k1, _ = jax.random.split(key)
+    eps = jax.random.normal(k1, lt.shape, lt.dtype)
+    s = scale
+    g_old = gF(lt)
+    lt_new = lt + 0.5 * s * s * g_old + s * eps
+    g_new = gF(lt_new)
+    fwd = lt_new - lt - 0.5 * s * s * g_old
+    rev = lt - lt_new - 0.5 * s * s * g_new
+    log_alpha = (
+        F(lt_new) - F(lt)
+        + jnp.sum(fwd * fwd - rev * rev, axis=-1) / (2.0 * s[:, 0] ** 2)
+    )
+    return jnp.exp(jnp.minimum(log_alpha, 0.0))
+
+
+@pytest.mark.parametrize("tau_prior", ["halfnormal", "invgamma"])
+def test_langevin_asis_tau_g_matches_autodiff(tau_prior):
+    """asis_tau_g is ALWAYS Langevin (its gradient is analytic Gaussian
+    algebra, no data touch) — validate against autodiff of the target."""
+    data, model, position = _setup(tau_prior)
+    G = data.num_groups
+    key = jax.random.key(21)
+    scale = jnp.full((C, 1), 0.08, jnp.float32)
+    _, _, alpha = model.joint_moves["asis_tau_g"](
+        key, position, {}, scale, data
+    )
+
+    bg, mu, lt0 = (
+        position["beta_g"], position["mu"], position["log_tau_g"],
+    )
+    tau_z = bg - mu[:, None, :]
+
+    def F(lt):
+        bg_p = mu[:, None, :] + tau_z * jnp.exp(lt - lt0)[:, None, :]
+        st = {**position, "beta_g": bg_p, "log_tau_g": lt}
+        return model.joint_logdensity(st, data) + G * jnp.sum(lt, axis=-1)
+
+    alpha_ref = _mala_ref(F, lt0, scale, key)
+    np.testing.assert_allclose(
+        np.asarray(alpha), np.asarray(alpha_ref), rtol=0, atol=2e-3
+    )
+
+
+@pytest.mark.parametrize("tau_prior", ["halfnormal", "invgamma"])
+def test_langevin_asis_tau_s_matches_autodiff_in_grad_mode(tau_prior):
+    """asis_tau_s upgrades to Langevin when the MALA grad cache is live."""
+    data, model, position = _setup(tau_prior)
+    S = data.num_subjects
+    self_vag, _ = model.cond_cached_grad["beta_s"]
+    v, g = self_vag(position["beta_s"], data)
+    cache = {"beta_s": {"v": v, "g": g}}
+    key = jax.random.key(22)
+    scale = jnp.full((C, 1), 0.05, jnp.float32)
+    pos_up, cache_up, alpha = model.joint_moves["asis_tau_s"](
+        key, position, cache, scale, data
+    )
+
+    bs, lt0 = position["beta_s"], position["log_tau_s"]
+    bg_s = jnp.take(position["beta_g"], data.subject_group, axis=1)
+    tau_z = bs - bg_s
+
+    def F(lt):
+        bs_p = bg_s + tau_z * jnp.exp(lt - lt0)[:, None, :]
+        st = {**position, "beta_s": bs_p, "log_tau_s": lt}
+        return model.joint_logdensity(st, data) + S * jnp.sum(lt, axis=-1)
+
+    alpha_ref = _mala_ref(F, lt0, scale, key)
+    np.testing.assert_allclose(
+        np.asarray(alpha), np.asarray(alpha_ref), rtol=0, atol=2e-3
+    )
+
+    # refreshed cache must match the selected position
+    v_sel, g_sel = self_vag(pos_up["beta_s"], data)
+    np.testing.assert_allclose(
+        np.asarray(cache_up["beta_s"]["v"]), np.asarray(v_sel),
+        rtol=0, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_up["beta_s"]["g"]), np.asarray(g_sel),
+        rtol=0, atol=1e-4,
+    )
+
+
+def test_rw_asis_tau_s_without_grad_cache():
+    """Without a grad cache asis_tau_s stays a plain random walk."""
+    data, model, position = _setup("halfnormal")
+    S = data.num_subjects
+    self_vag, _ = model.cond_cached_grad["beta_s"]
+    v, _ = self_vag(position["beta_s"], data)
+    key = jax.random.key(23)
+    scale = jnp.full((C, 1), 0.05, jnp.float32)
+    _, _, alpha = model.joint_moves["asis_tau_s"](
+        key, position, {"beta_s": v}, scale, data
+    )
+    bs, lt0 = position["beta_s"], position["log_tau_s"]
+    bg_s = jnp.take(position["beta_g"], data.subject_group, axis=1)
+    tau_z = bs - bg_s
+    k1, _ = jax.random.split(key)
+    eps = jax.random.normal(k1, lt0.shape, lt0.dtype)
+    lt_new = lt0 + scale * eps
+
+    def F(lt):
+        bs_p = bg_s + tau_z * jnp.exp(lt - lt0)[:, None, :]
+        st = {**position, "beta_s": bs_p, "log_tau_s": lt}
+        return model.joint_logdensity(st, data) + S * jnp.sum(lt, axis=-1)
+
+    alpha_ref = jnp.exp(jnp.minimum(F(lt_new) - F(lt0), 0.0))
+    np.testing.assert_allclose(
+        np.asarray(alpha), np.asarray(alpha_ref), rtol=0, atol=2e-3
+    )

@@ -111,6 +111,35 @@ def test_geweke_correct_sampler_passes(algorithm):
 
 
 @pytest.mark.slow
+def test_geweke_grad_asis_passes():
+    """Langevin (MALA) interweaving move: validates the z-fixed target,
+    the chain-rule gradient, and the asymmetric-proposal correction that
+    models/hier_logistic.py's asis_tau_move uses in grad mode. Fixed scale
+    1.0 (the harness runs adapt=False): the same scale at which the
+    broken-q power check below measures |z| = 12 — large drift and
+    q-correction terms, so an error in either cannot hide (measured scan:
+    s=0.3 -> broken-q z 3.3, s=0.6 -> 9.0, s=1.0 -> 12.3)."""
+    model = make_calibration_model(G, N, grad_asis=True, asis_init_scale=1.0)
+    zs = _geweke_zscores(model, seed=20)
+    worst = max(abs(z) for z in zs.values())
+    assert worst < 5.0, f"Geweke z-scores (grad-ASIS) {zs}"
+
+
+@pytest.mark.slow
+def test_geweke_grad_asis_broken_q_detected():
+    """POWER check: the same Langevin move with the q-correction dropped
+    (the exact class of bug a MALA-fied move can introduce) must fail."""
+    model = make_calibration_model(
+        G, N, grad_asis="broken-q", asis_init_scale=1.0
+    )
+    zs = _geweke_zscores(model, seed=21)
+    worst = max(abs(z) for z in zs.values())
+    assert worst > 6.0, (
+        f"Geweke failed to detect a missing MALA q-correction: {zs}"
+    )
+
+
+@pytest.mark.slow
 def test_geweke_detects_broken_jacobian():
     model = make_broken_model(G, N)
     zs = _geweke_zscores(model, seed=10)

@@ -68,7 +68,18 @@ def test_long_runs_statistically_agree():
         db = np.asarray(b.diagnostics()[k]["mcse_mean"])
         tol = 5 * np.sqrt(da**2 + db**2)
         assert np.all(np.abs(ma - mb) < tol), (k, ma, mb, tol)
+    from nestmc.kernels.gibbs import joint_move_target
+
     for k in a.accept_rates:
         ra = float(np.mean(np.asarray(a.accept_rates[k])))
         rb = float(np.mean(np.asarray(b.accept_rates[k])))
-        assert abs(ra - rb) < 0.08, (k, ra, rb)
+        if k in fused.joint_moves:
+            # the grad-cache model runs the LANGEVIN interweave (target
+            # 0.574), the stripped model the RW one (0.234): same invariant
+            # distribution (moment agreement above) but different proposals
+            # by design — check each against its own resolved adaptation
+            # target instead of against each other
+            assert abs(ra - joint_move_target(fused, k, cfg)) < 0.12, (k, ra)
+            assert abs(rb - joint_move_target(plain, k, cfg)) < 0.12, (k, rb)
+        else:
+            assert abs(ra - rb) < 0.08, (k, ra, rb)
