@@ -68,6 +68,7 @@ def run_preset(
         # retained scalars were checked.
         "rhat_coverage": "all" if post.full_rhat is not None
         else "collected",
+        "full_rhat_thin": cfg.run.full_rhat_thin,
         "ess_per_sec_per_chip": post.total_ess() / sample_s / n_chips,
         "min_ess_per_sec_per_chip": post.min_ess() / sample_s / n_chips,
         # SURVEY section 3.5's original convention (warmup IN the
@@ -101,6 +102,12 @@ def main() -> int:
     ap.add_argument("--segment-size", type=int)
     ap.add_argument("--chain-shards", type=int)
     ap.add_argument(
+        "--full-rhat-thin", type=int,
+        help="fold every k-th retained draw into the streaming R-hat "
+             "accumulators (RunConfig.full_rhat_thin); cuts the Welford "
+             "pass's HBM traffic by k on huge-G runs",
+    )
+    ap.add_argument(
         "--full-rhat", action="store_true",
         help="stream split R-hat over EVERY sampled unit of every block "
              "(not just collected scalars); worst_rhat then covers the "
@@ -129,6 +136,7 @@ def main() -> int:
             chains=args.chains, warmup=args.warmup, draws=args.draws,
             segment_size=args.segment_size,
             full_rhat=args.full_rhat or None,
+            full_rhat_thin=args.full_rhat_thin,
             chain_shards=args.chain_shards,
         )
         res["meta"] = meta

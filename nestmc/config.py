@@ -76,6 +76,16 @@ class RunConfig:
     # in the sampling scan — O(params) memory, ~a few % sweep overhead.
     # Lets bench assert `all split R-hat < 1.01` without retaining huge
     # blocks (SURVEY.md section 3.5).
+    full_rhat_thin: int = 1
+    # full_rhat_thin: fold every k-th retained draw into the streaming
+    # accumulators instead of every draw. Split R-hat on a thinned
+    # subsequence estimates the same between/within variance ratio (fewer,
+    # LESS autocorrelated samples — if anything the thinned estimate is
+    # more conservative per sample), while the Welford pass's HBM traffic
+    # drops by k: at G=100k the per-draw update reads+writes accumulators
+    # 4x the position size, measured ~19%% of sweep time at thin 1
+    # (BASELINE.md round 3). Draws skipped by the gate cost one scalar
+    # predicate — lax.cond skips the memory pass entirely.
     log_rhat: bool = False  # also log worst split R-hat of draws so far
     # (classic split R-hat on the cumulative collected draws; one extra
     # on-device reduction per segment, no extra host traffic beyond the

@@ -115,7 +115,8 @@ def build_step_fns(model: ModelSpec, cfg: SamplerConfig, data=None):
     # (over the FULL position pytree) through the scan alongside the carry.
     from nestmc.diagnostics import streaming_rhat_update
 
-    half_len = cfg.run.draws // 2
+    rthin = max(1, cfg.run.full_rhat_thin)
+    half_len = (cfg.run.draws // rthin) // 2
     donate_full = (0, 1) if cfg.sharding.donate_carry else ()
 
     @partial(jax.jit, static_argnames=("length",),
@@ -125,7 +126,21 @@ def build_step_fns(model: ModelSpec, cfg: SamplerConfig, data=None):
         def one_draw(ca, i):
             c, a = ca
             c = advance(c, data)
-            a = streaming_rhat_update(a, c.position, offset + i, half_len)
+            j = offset + i
+            if rthin == 1:
+                a = streaming_rhat_update(a, c.position, j, half_len)
+            else:
+                # thinned streaming: only every rthin-th retained draw
+                # touches the accumulators (lax.cond skips the whole
+                # read-modify-write pass on gated-off draws)
+                a = jax.lax.cond(
+                    j % rthin == 0,
+                    lambda a_: streaming_rhat_update(
+                        a_, c.position, j // rthin, half_len
+                    ),
+                    lambda a_: a_,
+                    a,
+                )
             return (c, a), collect(c.position)
 
         (carry, acc), draws = jax.lax.scan(
@@ -210,6 +225,18 @@ def sample(
         jax.jit(fused.from_fused) if fused is not None else (lambda s: s)
     )
     timings = {"setup_s": time.perf_counter() - t_setup}
+
+    # The FIRST device execution in a process pays a one-time backend
+    # session-establishment cost (measured on the axon remote-TPU tunnel:
+    # 60-130 s for a trivial x+1 program, after which the same warmup
+    # program that previously "ran" at 8 sweeps/s runs at ~7400 — the
+    # round-2 eight-schools warmup anomaly, BASELINE.md round 3). Absorb
+    # it here with a throwaway scalar execution (host read: the axon
+    # backend's block_until_ready can return early) so the warmup/sample
+    # phase timings measure the sampler, not the tunnel handshake.
+    t_bw = time.perf_counter()
+    float(jnp.add(jnp.float32(1.0), jnp.float32(1.0)))
+    timings["backend_warm_s"] = time.perf_counter() - t_bw
 
     # ---- warmup (adapting) ----
     warm_rates = {k: jnp.zeros_like(v) for k, v in state.accept_sum.items()}

@@ -550,6 +550,18 @@ def make_hier_logistic(
             "beta": (lik_value_and_grad, gprior_value_and_grad),
         },
         fused_sweep=fused_sweep,
+        # log of tau's conjugate sufficient statistic s2_k = sum_g
+        # (beta_gk - mu_k)^2: tau's draw is invgamma(a + G/2, b + s2/2), so
+        # ESS(log_s2) is the structural cap on ESS(log_tau) — collect it
+        # (opt-in via RunConfig.collect) to attribute the min-ESS floor to
+        # beta-spread mixing vs the quality of the tau moves themselves.
+        derived={
+            "log_s2": lambda pos: jnp.log(
+                jnp.sum(
+                    (pos["beta"] - pos["mu"][:, None, :]) ** 2, axis=1
+                )
+            ),
+        },
     )
 
 

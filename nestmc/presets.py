@@ -178,6 +178,11 @@ def _mala_100k(seed: int, scale: float):
             draws=max(50, int(4096 * scale)),
             seed=seed,
             collect={"mu": None, "log_tau": None, "beta": 8},
+            # full-R-hat streaming over ~300k params costs ~19% of sweep
+            # time at thin 1 (53.1k vs 63.3k ESS/s/chip, BASELINE.md);
+            # fold every 4th draw instead — 1024 thinned draws per chain
+            # still drive the same split-R-hat gate
+            full_rhat_thin=4,
         ),
         sharding=ShardingConfig(
             chain_shards=max(n_dev // gsh, 1), group_shards=gsh

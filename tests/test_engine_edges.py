@@ -101,6 +101,28 @@ def test_full_rhat_matches_split_rhat_of_retained_draws(es):
     assert post.worst_rhat() >= worst_direct - 1e-4
 
 
+def test_full_rhat_thinned_matches_split_rhat_of_thinned_draws(es):
+    """full_rhat_thin=k streams split R-hat of exactly the draws at
+    retained indices 0, k, 2k, ... — verified against split_rhat applied
+    to that subsequence, across uneven segments and a draw count not
+    divisible by k."""
+    from nestmc.diagnostics import split_rhat
+
+    model, data = es
+    k = 3
+    cfg = SamplerConfig(run=RunConfig(
+        chains=4, warmup=30, draws=50, segment_size=13, seed=5,
+        log_every_segment=False, full_rhat=True, full_rhat_thin=k,
+    ))
+    post = sample(model, data, cfg)
+    assert post.full_rhat is not None
+    for name, streamed in post.full_rhat.items():
+        direct = split_rhat(post.draws[name][:, ::k])
+        np.testing.assert_allclose(
+            np.asarray(streamed), np.asarray(direct), rtol=2e-4, atol=2e-4
+        )
+
+
 def test_full_rhat_uncollected_block(es):
     """full_rhat covers blocks excluded from collection entirely."""
     model, data = es
