@@ -17,9 +17,16 @@ if os.environ.get("NESTMC_TPU_TESTS", "") != "1":
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    # 8 simulated device threads time-slicing on a small core count can
+    # miss XLA-CPU's default 40 s collective rendezvous window on
+    # non-trivial programs, which ABORTS the process (observed at nproc=1:
+    # "only 5 of 8 threads arrived"); give them room.
+    _flags = (
+        _flags + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
     ).strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 import pytest  # noqa: E402
