@@ -27,6 +27,7 @@ import jax as _jax
 # shard (no replicated-then-slice materialization).
 _jax.config.update("jax_threefry_partitionable", True)
 
+from nestmc.compare import compare, psis_loo, waic
 from nestmc.config import KernelConfig, RunConfig, SamplerConfig, ShardingConfig
 from nestmc.data import NestedData, NestedData3
 from nestmc.engine import sample
@@ -39,6 +40,9 @@ __version__ = "0.1.0"
 __all__ = [
     "Block",
     "KernelConfig",
+    "compare",
+    "psis_loo",
+    "waic",
     "ModelSpec",
     "NestedData",
     "NestedData3",

@@ -561,6 +561,11 @@ def make_hier_logistic(
                     (pos["beta"] - pos["mu"][:, None, :]) ** 2, axis=1
                 )
             ),
+            # per-group log-likelihood (C, G) for WAIC / PSIS-LOO
+            # (nestmc/compare.py); closes over the BUILD-time data, and
+            # costs one extra obs pass per retained draw when collected —
+            # leave it out of `collect` on throughput-critical runs
+            "group_loglik": lambda pos: lik_fn(pos["beta"], data),
         },
     )
 
