@@ -275,6 +275,10 @@ def make_hier_glm(
         joint_move_init_scale={
             "asis_tau": 2.38 / math.sqrt(p * max(G, 1)),
         },
+        # per-group log-likelihood (C, G) for WAIC / PSIS-LOO
+        # (nestmc/compare.py); closes over the build-time data and costs
+        # one extra obs pass per retained draw when collected
+        derived={"group_loglik": lambda pos: _lik(pos, data)},
     )
 
 

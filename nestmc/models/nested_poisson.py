@@ -525,6 +525,17 @@ def make_nested_poisson(
             # tau_s upgrades to Langevin only when the grad cache is live
             "asis_tau_s": "auto",
         },
+        # per-unit log-likelihoods for WAIC / PSIS-LOO (nestmc/compare.py):
+        # subject-level (C, S) and group-level (C, G) — the two candidate
+        # exchangeable prediction units of 3-level data. Closes over the
+        # build-time data; one extra obs pass per retained draw when
+        # collected.
+        derived={
+            "subject_loglik": lambda pos: _lik(pos["beta_s"], data),
+            "group_loglik": lambda pos: _segsum_cs_to_cg(
+                _lik(pos["beta_s"], data), data.subject_group, G
+            ),
+        },
     )
 
 

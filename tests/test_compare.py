@@ -131,3 +131,43 @@ def test_group_loglik_end_to_end():
     assert np.all(np.isfinite(r["k_hat"]))
     assert np.mean(r["k_hat"] < 0.7) > 0.3
     assert np.any(r["k_hat"] > 0.5)
+
+
+def test_group_loglik_all_model_families():
+    """Every model family exposes per-unit loglik draws for compare()."""
+    import jax
+
+    from nestmc import RunConfig, SamplerConfig, sample
+    from nestmc.models.hier_glm import make_hier_glm, synth_glm
+    from nestmc.models.nested_poisson import (
+        make_nested_poisson, synth_poisson3,
+    )
+
+    run = dict(chains=4, warmup=60, draws=80, seed=0,
+               log_every_segment=False)
+
+    data, _ = synth_glm(jax.random.key(5), family="poisson", G=12, n=8, p=2)
+    post = sample(make_hier_glm(data, family="poisson"), data,
+                  SamplerConfig(run=RunConfig(
+                      collect={"group_loglik": None}, **run)))
+    ll = np.asarray(post.draws["group_loglik"])
+    assert ll.shape == (4, 80, 12) and np.all(np.isfinite(ll))
+    assert np.isfinite(waic(ll)["elpd_waic"])
+
+    data3, _ = synth_poisson3(
+        jax.random.key(6), G=6, subjects_per_group=3, n=5, p=2
+    )
+    post3 = sample(
+        make_nested_poisson(data3), data3,
+        SamplerConfig(run=RunConfig(
+            collect={"group_loglik": None, "subject_loglik": None}, **run)),
+    )
+    gll = np.asarray(post3.draws["group_loglik"])
+    sll = np.asarray(post3.draws["subject_loglik"])
+    assert gll.shape == (4, 80, 6) and sll.shape == (4, 80, 18)
+    # group loglik == segment-sum of subject loglik, draw by draw
+    seg = np.stack(
+        [sll[..., [s for s in range(18) if s // 3 == g]].sum(-1)
+         for g in range(6)], axis=-1,
+    )
+    np.testing.assert_allclose(gll, seg, rtol=2e-5, atol=2e-4)
