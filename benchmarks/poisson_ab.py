@@ -24,12 +24,20 @@ def main() -> int:
     ap.add_argument("--warmup", type=int, default=1000)
     ap.add_argument("--draws", type=int, default=4096)
     ap.add_argument("--repeats", default="4,8,16")
+    ap.add_argument(
+        "--algorithm", default="rwmh",
+        help="beta_s kernel: 'rwmh' (BASELINE.json:9's adaptive-MH pin) or "
+             "'mala' (beyond-spec variant; beta_s has a cached fused "
+             "logp+grad, so MALA costs no extra obs passes — candidate "
+             "lift for the log_tau_g floor, which is capped by beta_s "
+             "mixing)",
+    )
     args = ap.parse_args()
 
     import jax
     import numpy as np
 
-    from nestmc.config import RunConfig, SamplerConfig
+    from nestmc.config import KernelConfig, RunConfig, SamplerConfig
     from nestmc.diagnostics import ess
     from nestmc.engine import sample
     from nestmc.models.nested_poisson import (
@@ -43,12 +51,15 @@ def main() -> int:
         model = make_nested_poisson(
             data, tau_prior="invgamma", asis_tau_g_repeats=rep,
         )
-        cfg = SamplerConfig(run=RunConfig(
-            chains=args.chains, warmup=args.warmup, draws=args.draws,
-            seed=0, segment_size=4096,
-            collect={"log_tau_g": None, "log_tau_s": None, "mu": None},
-            log_every_segment=False,
-        ))
+        cfg = SamplerConfig(
+            kernel=KernelConfig(algorithm=args.algorithm),
+            run=RunConfig(
+                chains=args.chains, warmup=args.warmup, draws=args.draws,
+                seed=0, segment_size=4096,
+                collect={"log_tau_g": None, "log_tau_s": None, "mu": None},
+                log_every_segment=False,
+            ),
+        )
         t0 = time.perf_counter()
         post = sample(model, data, cfg)
         wall = time.perf_counter() - t0
@@ -56,6 +67,7 @@ def main() -> int:
         lt = np.asarray(post.draws["log_tau_g"])
         e = [float(ess(lt[..., k])) for k in range(lt.shape[-1])]
         print(json.dumps({
+            "algorithm": args.algorithm,
             "asis_tau_g_repeats": rep,
             "tau_g_ess": [round(v, 1) for v in e],
             "min_tau_g_ess_per_s": round(min(e) / sample_s, 1),

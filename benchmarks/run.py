@@ -21,7 +21,8 @@ import time
 
 def run_preset(
     name: str, scale: float, seed: int,
-    chain_shards: int | None = None, **overrides,
+    chain_shards: int | None = None, group_shards: int | None = None,
+    **overrides,
 ) -> dict:
     import dataclasses
 
@@ -34,12 +35,15 @@ def run_preset(
     overrides = {k: v for k, v in overrides.items() if v is not None}
     if overrides:
         cfg = override_run(cfg, **overrides)
-    if chain_shards is not None:
+    shard_over = {
+        k: v for k, v in
+        (("chain_shards", chain_shards), ("group_shards", group_shards))
+        if v is not None
+    }
+    if shard_over:
         cfg = dataclasses.replace(
             cfg,
-            sharding=dataclasses.replace(
-                cfg.sharding, chain_shards=chain_shards
-            ),
+            sharding=dataclasses.replace(cfg.sharding, **shard_over),
         )
     t0 = time.perf_counter()
     post = sample(model, data, cfg)
@@ -101,6 +105,7 @@ def main() -> int:
     ap.add_argument("--draws", type=int)
     ap.add_argument("--segment-size", type=int)
     ap.add_argument("--chain-shards", type=int)
+    ap.add_argument("--group-shards", type=int)
     ap.add_argument(
         "--full-rhat-thin", type=int,
         help="fold every k-th retained draw into the streaming R-hat "
@@ -138,6 +143,7 @@ def main() -> int:
             full_rhat=args.full_rhat or None,
             full_rhat_thin=args.full_rhat_thin,
             chain_shards=args.chain_shards,
+            group_shards=args.group_shards,
         )
         res["meta"] = meta
         print(json.dumps(res, default=str))

@@ -191,11 +191,27 @@ def _mala_100k(seed: int, scale: float):
     return model, data, cfg
 
 
+def _nested_poisson_1k_mala(seed: int, scale: float):
+    """Config-3 variant beyond the spec pin: MALA on beta_s.
+
+    BASELINE.json:9 pins 'adaptive MH' (kept as the default preset's RW
+    kernel); beta_s carries a fused logp+grad cache, so MALA costs no
+    extra obs passes and lifts the binding log_tau_g min-ESS floor ~3x
+    (measured A/B at HEAD: tau_g ESS 13.6k -> 40.7k over 512x4096 pooled
+    draws, min tau_g ESS/s 668 -> 1,909 at 251 -> 192 sweeps/s;
+    benchmarks/poisson_ab.py --algorithm mala)."""
+    model, data, cfg = _nested_poisson_1k(seed, scale)
+    return model, data, dataclasses.replace(
+        cfg, kernel=dataclasses.replace(cfg.kernel, algorithm="mala")
+    )
+
+
 PRESETS = {
     "eight-schools": _eight_schools,
     "hier-logistic-100": _hier_logistic_100,
     "hier-logistic-1k": _hier_logistic_1k,
     "nested-poisson-1k": _nested_poisson_1k,
+    "nested-poisson-1k-mala": _nested_poisson_1k_mala,
     "ragged-10k": _ragged_10k,
     "mala-100k": _mala_100k,
 }
