@@ -2,6 +2,7 @@
 
 Subcommands:
   run           run a named preset (with overrides) and print summaries
+  compare       rank saved runs by WAIC / PSIS-LOO (nestmc/compare.py)
   list-presets  show available presets
 Flags of note: --profile DIR (jax.profiler trace), --debug-nans,
 --checkpoint-dir/--resume (restart recovery), --scale (shrink a preset for
@@ -55,6 +56,30 @@ def _build_parser():
     r.add_argument("--metric-json", action="store_true",
                    help="print the benchmark metric as one JSON line")
     r.add_argument("--quiet", action="store_true")
+    r.add_argument(
+        "--collect", metavar="SPEC",
+        help="override collected quantities: comma-separated names, each "
+             "optionally ':k' for the first k units (e.g. "
+             "'mu,log_tau,beta:8,group_loglik'); names may be blocks or "
+             "model derived quantities",
+    )
+    r.add_argument(
+        "--save-draws", metavar="PATH.npz",
+        help="save collected draw arrays (chains x draws x ...) to an "
+             ".npz for offline analysis / `nestmc compare`",
+    )
+
+    c = sub.add_parser(
+        "compare",
+        help="rank saved runs by WAIC or PSIS-LOO "
+             "(runs saved with `run --collect ...,group_loglik "
+             "--save-draws PATH`)",
+    )
+    c.add_argument("paths", nargs="+", metavar="PATH.npz")
+    c.add_argument("--unit", default="group_loglik",
+                   help="per-unit loglik array name in the .npz "
+                        "(default: group_loglik)")
+    c.add_argument("--method", choices=["loo", "waic"], default="loo")
 
     sub.add_parser("list-presets", help="list available presets")
     return p
@@ -73,6 +98,12 @@ def _apply_overrides(cfg, args):
         run_over["segment_size"] = args.segment_size
     if args.quiet:
         run_over["log_every_segment"] = False
+    if getattr(args, "collect", None):
+        spec = {}
+        for item in args.collect.split(","):
+            name, _, k = item.strip().partition(":")
+            spec[name] = int(k) if k else None
+        run_over["collect"] = spec
     if getattr(args, "log_rhat", False):
         run_over["log_rhat"] = True
     kern_over = {
@@ -166,6 +197,20 @@ def cmd_run(args) -> int:
         jax.profiler.stop_trace()
         print(f"profile trace written to {profile_ctx}", file=sys.stderr)
 
+    if getattr(args, "save_draws", None):
+        import numpy as np
+
+        np.savez(
+            args.save_draws,
+            __meta__=json.dumps({
+                "preset": args.preset,
+                "config": post.config,
+                "worst_rhat": float(post.worst_rhat()),
+            }, default=str),
+            **{k: np.asarray(v) for k, v in post.draws.items()},
+        )
+        print(f"draws saved to {args.save_draws}", file=sys.stderr)
+
     if not args.metric_json:
         print(post.summary_table())
         print(f"\nworst R-hat: {post.worst_rhat():.4f}")
@@ -195,6 +240,38 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_compare(args) -> int:
+    import numpy as np
+
+    from nestmc.compare import compare, psis_loo, waic
+
+    method = psis_loo if args.method == "loo" else waic
+    results = {}
+    for path in args.paths:
+        with np.load(path, allow_pickle=False) as z:
+            if args.unit not in z:
+                avail = sorted(k for k in z.files if k != "__meta__")
+                print(
+                    f"{path}: no array {args.unit!r}; available: {avail} "
+                    f"(re-run with --collect ...,{args.unit} "
+                    f"--save-draws)", file=sys.stderr,
+                )
+                return 2
+            results[path] = method(z[args.unit])
+    rows = compare(results)
+    for row in rows:
+        extra = ""
+        if args.method == "loo":
+            kh = results[row["model"]]["k_hat"]
+            extra = f"  k_hat>0.7: {int((kh > 0.7).sum())}/{kh.size}"
+        print(
+            f"{row['model']:<40} elpd={row['elpd']:>12.2f}  "
+            f"diff={row['elpd_diff']:>9.2f} +- {row['diff_se']:.2f}{extra}"
+        )
+    print(json.dumps(rows, default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
     if args.cmd == "list-presets":
@@ -204,6 +281,8 @@ def main(argv=None) -> int:
         return 0
     if args.cmd == "run":
         return cmd_run(args)
+    if args.cmd == "compare":
+        return cmd_compare(args)
     return 1
 
 

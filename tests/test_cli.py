@@ -66,3 +66,37 @@ def test_resume_without_checkpoint_fails():
     )
     assert r.returncode == 2
     assert "no checkpoint" in r.stderr
+
+
+def test_save_draws_and_compare(tmp_path):
+    a = str(tmp_path / "a.npz")
+    b = str(tmp_path / "b.npz")
+    for path, seed in ((a, "1"), (b, "2")):
+        run_cli(
+            "run", "--preset", "hier-logistic-100", "--chains", "4",
+            "--warmup", "30", "--draws", "60", "--seed", seed, "--quiet",
+            "--collect", "mu,beta:4,group_loglik",
+            "--save-draws", path,
+        )
+    import numpy as np
+
+    with np.load(a) as z:
+        assert z["group_loglik"].shape == (4, 60, 100)
+        assert z["beta"].shape[2] == 4
+    r = run_cli("compare", a, b, "--method", "waic")
+    rows = json.loads(r.stdout.strip().splitlines()[-1])
+    assert len(rows) == 2 and rows[0]["elpd_diff"] == 0.0
+    r2 = run_cli("compare", a, b)  # PSIS-LOO default
+    assert "k_hat>0.7" in r2.stdout
+
+
+def test_compare_missing_unit_errors(tmp_path):
+    p = str(tmp_path / "c.npz")
+    run_cli(
+        "run", "--preset", "eight-schools", "--chains", "4",
+        "--warmup", "10", "--draws", "10", "--quiet",
+        "--save-draws", p,
+    )
+    r = run_cli("compare", p, check=False)
+    assert r.returncode == 2
+    assert "group_loglik" in r.stderr
