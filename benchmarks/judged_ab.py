@@ -37,10 +37,21 @@ def main() -> int:
     data, _ = synth_logistic(jax.random.key(2000), G=1000, n=50, p=4)
     for variant in args.variants.split(","):
         fused_s, tau_s = variant.split("-")
-        model = make_hier_logistic(data, tau_prior=tau_s)
+        # variant grammar: <path>-<tau_prior> with path one of
+        # unfused / fused / sweep (all MALA) or newton / newtonN (Newton-MH
+        # with N ASIS interweaving repeats, default 1; N=0 drops the move)
+        algorithm = "mala"
+        asis_repeats = 1
+        if fused_s.startswith("newton"):
+            algorithm = "newton"
+            if fused_s != "newton":
+                asis_repeats = int(fused_s[len("newton"):])
+        model = make_hier_logistic(
+            data, tau_prior=tau_s, asis_repeats=asis_repeats
+        )
         cfg = SamplerConfig(
             kernel=KernelConfig(
-                algorithm="mala", fused_accept=(fused_s == "fused"),
+                algorithm=algorithm, fused_accept=(fused_s == "fused"),
                 fused_sweep=(fused_s == "sweep"),
             ),
             run=RunConfig(

@@ -36,7 +36,7 @@ def _build_parser():
     r.add_argument("--thin", type=int)
     r.add_argument("--seed", type=int)
     r.add_argument("--segment-size", type=int)
-    r.add_argument("--algorithm", choices=["rwmh", "mala"])
+    r.add_argument("--algorithm", choices=["rwmh", "mala", "newton"])
     r.add_argument("--precond", choices=["none", "diag"])
     r.add_argument("--chain-shards", type=int)
     r.add_argument("--group-shards", type=int)

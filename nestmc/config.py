@@ -15,7 +15,8 @@ from dataclasses import dataclass
 class KernelConfig:
     """MH kernel + adaptation knobs.
 
-    algorithm: 'rwmh' (random-walk) or 'mala' (gradient-based, BASELINE.json:11);
+    algorithm: 'rwmh' (random-walk), 'mala' (gradient-based,
+      BASELINE.json:11) or 'newton' (Laplace-proposal MH, kernels/newton.py);
       per-block override via Block.algorithm.
     target_accept: None -> per-block standard optimum (0.44 scalar RW /
       0.234 multivariate RW / 0.574 MALA, Roberts & Rosenthal).

@@ -16,20 +16,26 @@ import jax.numpy as jnp
 from nestmc.adapt import adapt_log_scale, precond_std, update_precond
 from nestmc.config import MALA_TARGET_ACCEPT, SamplerConfig, rw_target_accept
 from nestmc.kernels.mala import mala_update
+from nestmc.kernels.newton import newton_update
 from nestmc.kernels.rwmh import rwmh_update
 from nestmc.kernels.state import KernelState
 from nestmc.model import ModelSpec
 
-_UPDATES = {"rwmh": rwmh_update, "mala": mala_update}
+_UPDATES = {"rwmh": rwmh_update, "mala": mala_update, "newton": newton_update}
 
 
 def grad_cache_live(model: ModelSpec, cfg: SamplerConfig) -> bool:
-    """True when some cond_cached_grad block runs MALA, so the carried
-    cache holds {'v','g'} and gradient-aware joint moves (Langevin ASIS)
-    engage."""
+    """True when some cond_cached_grad/newton block runs a gradient kernel,
+    so the carried cache holds {'v','g',...} and gradient-aware joint moves
+    (Langevin ASIS) engage."""
     return any(
-        (b.algorithm or cfg.kernel.algorithm) == "mala"
-        and b.name in model.cond_cached_grad
+        (
+            (b.algorithm or cfg.kernel.algorithm) == "mala"
+            and b.name in model.cond_cached_grad
+        ) or (
+            (b.algorithm or cfg.kernel.algorithm) == "newton"
+            and b.name in model.cond_cached_newton
+        )
         for b in model.blocks
         if b.name not in model.gibbs_draws
     )
@@ -81,10 +87,11 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
 
             algorithm = block.algorithm or cfg.kernel.algorithm
             pstd = precond_std(precond[name], cfg.kernel)
-            fused_table = (
-                model.fused_updates if algorithm == "rwmh"
-                else model.fused_updates_mala
-            )
+            fused_table = {
+                "rwmh": model.fused_updates,
+                "mala": model.fused_updates_mala,
+                "newton": model.fused_updates_newton,
+            }[algorithm]
             use_fused = (
                 cfg.kernel.fused_accept
                 and name in fused_table
@@ -112,7 +119,11 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
             alpha = sum(alphas) / len(alphas)
             accept_sum[name] = accept_sum[name] + alpha
 
-            if adapt:
+            if adapt and algorithm != "newton":
+                # Newton-MH is NOT scale-adapted: its proposal covariance is
+                # the conditional's own inverse Hessian (c = 1); acceptance
+                # is non-monotone in c so rate-targeting is ill-posed
+                # (kernels/newton.py docstring).
                 target = block_target_accept(block, algorithm, cfg)
                 # Scale adaptation sees the per-scale-unit acceptance: mean
                 # over units when scales are shared across units.

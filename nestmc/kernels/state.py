@@ -97,6 +97,19 @@ def init_kernel_state(
                 "v": val if b.units else val[:, None],
                 "g": grad,
             }
+        elif b.name in model.cond_cached_newton and algorithm == "newton":
+            self_vgh, _ = model.cond_cached_newton[b.name]
+            val, grad, hess = self_vgh(position[b.name], data)
+            cache[b.name] = {
+                "v": val if b.units else val[:, None],
+                "g": grad,
+                "h": hess,
+            }
+            # Newton-MH: log_scale is log sqrt(c), the proposal-covariance
+            # damping relative to the inverse conditional Hessian; c = 1
+            # (the Laplace approximation itself) is the exact-Gaussian
+            # optimum and is never adapted (kernels/newton.py).
+            log_scale[b.name] = jnp.zeros_like(log_scale[b.name])
         else:
             cache[b.name] = None
     for mname in model.joint_moves:

@@ -170,6 +170,19 @@ class ModelSpec:
     # when KernelConfig.fused_accept is set, the block runs MALA, and no
     # preconditioner is active.
     fused_updates_mala: dict = dataclasses.field(default_factory=dict)
+    # Newton-MH analog of fused_updates_mala (kernels/newton.py); engaged
+    # when KernelConfig.fused_accept is set and the block runs 'newton'.
+    fused_updates_newton: dict = dataclasses.field(default_factory=dict)
+    # Newton-MH analog of cond_cached_grad: {block_name: (self_vgh,
+    # rest_vgh)} where self_vgh(value, data) -> ((C,U) logp, value-shaped
+    # grad, (C,U,T) packed negative Hessian, T = p(p+1)/2 in the
+    # ops/smallchol layout) depends on no other block, and
+    # rest_vgh(value, state, data) -> same for the remainder (for a
+    # Gaussian prior the Hessian part is the packed precision diagonal,
+    # broadcastable over units). Required for blocks running the 'newton'
+    # algorithm — there is no autodiff fallback (a generic jax.hessian of
+    # the obs pass would materialize an (C,U,p,p)-per-obs intermediate).
+    cond_cached_newton: dict = dataclasses.field(default_factory=dict)
     # MALA analog of cond_cached: {block_name: (self_vag, rest_vag)} where
     # self_vag(value, data) -> ((C,U) logp, value-shaped grad) depends on no
     # other block (the data likelihood), rest_vag(value, state, data) ->

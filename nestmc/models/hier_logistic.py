@@ -273,6 +273,41 @@ def make_hier_logistic(
         )
         return gp_val, -diff * inv_tau2
 
+    def lik_value_grad_hess(value, data):
+        """(loglik (C,G), grad (C,G,p), packed -Hessian (C,G,T)) of the
+        data likelihood — the Newton-MH obs pass (kernels/newton.py). The
+        Hessian shares the gradient's sigmoid: w = s(1-s), zero extra
+        transcendentals."""
+        if isinstance(data, RaggedData):
+            from nestmc.ops.loglik import logistic_logp_grad_hess_segment
+
+            return logistic_logp_grad_hess_segment(
+                value, data.x, data.y, data.segment_ids, data.num_groups
+            )
+        if chosen == "pallas":
+            from nestmc.ops.pallas.loglik_logistic import (
+                logistic_logp_grad_hess_pallas,
+            )
+
+            return logistic_logp_grad_hess_pallas(
+                value, data.x, data.y, data.mask, dense=_dense_data,
+            )
+        from nestmc.ops.loglik import logistic_logp_grad_hess_padded
+
+        return logistic_logp_grad_hess_padded(
+            value, data.x, data.y, data.mask
+        )
+
+    def gprior_vgh(value, state, data):
+        """Prior part of the Newton split: the Gaussian prior's negative
+        Hessian is the constant precision diagonal diag(1/tau^2), packed
+        (C, 1, T) to broadcast over groups."""
+        from nestmc.ops.smallchol import pack_diag
+
+        gp_val, gp_grad = gprior_value_and_grad(value, state, data)
+        inv_tau2 = jnp.exp(-2.0 * state["log_tau"])      # (C, p)
+        return gp_val, gp_grad, pack_diag(inv_tau2, p)[:, None, :]
+
     def cond_value_and_grad(name, value, state, data):
         """Full fused value+grad of the beta conditional (MALA fallback
         when the grad cache is off). None for other blocks -> generic vjp."""
@@ -341,7 +376,8 @@ def make_hier_logistic(
         eps = jax.random.normal(k1, lt.shape, lt.dtype)
         diff = beta - mu[:, None, :]                   # tau * z, (C, G, p)
         lik_cache = cache.get("beta")
-        grad_mode = isinstance(lik_cache, dict)        # MALA grad cache
+        grad_mode = isinstance(lik_cache, dict)        # MALA/Newton cache
+        newton_mode = grad_mode and "h" in lik_cache   # also carries -Hess
         if grad_mode:
             s2 = scale * scale                         # (C, 1)
             g_old = (
@@ -355,7 +391,15 @@ def make_hier_logistic(
         beta_new = mu[:, None, :] + diff * ratio
         if grad_mode:
             lik_old = lik_cache["v"]
-            lik_new, grad_new = lik_value_and_grad(beta_new, data)
+            if newton_mode:
+                # the Newton kernel's carried -Hessian must track beta: the
+                # rescale invalidates it, so the eval pass recomputes it in
+                # the same obs pass (w shares the gradient's sigmoid)
+                lik_new, grad_new, hess_new = lik_value_grad_hess(
+                    beta_new, data
+                )
+            else:
+                lik_new, grad_new = lik_value_and_grad(beta_new, data)
             g_new = (
                 jnp.sum(grad_new * diff * ratio, axis=1)
                 + _tau_logprior_grad(lt_new)
@@ -393,6 +437,10 @@ def make_hier_logistic(
             cache_up["beta"] = {
                 "v": jnp.where(accept[:, None], lik_new, lik_old),
                 "g": jnp.where(acc3, grad_new, lik_cache["g"]),
+                **(
+                    {"h": jnp.where(acc3, hess_new, lik_cache["h"])}
+                    if newton_mode else {}
+                ),
             }
         elif lik_cache is not None:
             cache_up["beta"] = jnp.where(accept[:, None], lik_new, lik_old)
@@ -520,7 +568,13 @@ def make_hier_logistic(
             "mu": gibbs_mu,
             **({"log_tau": gibbs_log_tau} if conj_tau else {}),
         },
-        joint_moves={"asis_tau": asis_tau_move},
+        # asis_repeats=0 drops the interweaving move entirely (each pass
+        # costs one obs-pass likelihood eval; under the Newton kernel beta
+        # mixes near-IID so tau's conjugate draw may no longer need it —
+        # measured A/B drives the default per config)
+        joint_moves=(
+            {"asis_tau": asis_tau_move} if asis_repeats > 0 else {}
+        ),
         # each repeat costs one obs-pass likelihood eval (~half the sweep);
         # tau mixing is the min-ESS floor on the judged config, so extra
         # interweaving repeats trade sweep cost for tau ESS/sweep
@@ -548,6 +602,9 @@ def make_hier_logistic(
         cond_value_and_grad=cond_value_and_grad,
         cond_cached_grad={
             "beta": (lik_value_and_grad, gprior_value_and_grad),
+        },
+        cond_cached_newton={
+            "beta": (lik_value_grad_hess, gprior_vgh),
         },
         fused_sweep=fused_sweep,
         # log of tau's conjugate sufficient statistic s2_k = sum_g

@@ -111,6 +111,85 @@ def _eta_segment_lean(beta, x, segment_ids):
     return eta
 
 
+def _xxt_packed(x, w):
+    """Packed lower triangle of sum_i w_i x_i x_i^T over the obs axis.
+
+    x: (G, n, p), w: (C, G, n) -> (C, G, p(p+1)/2), packing order of
+    :mod:`nestmc.ops.smallchol` (row-major lower triangle). Unrolled over
+    the static p so XLA keeps everything in one fused elementwise+reduce
+    pass — no (C, G, n, p, p) intermediate.
+    """
+    p = x.shape[-1]
+    cols = []
+    for i in range(p):
+        for j in range(i + 1):
+            cols.append(jnp.sum(w * (x[..., i] * x[..., j]), axis=-1))
+    return jnp.stack(cols, axis=-1)
+
+
+def logistic_logp_grad_hess_padded(beta, x, y, mask):
+    """Fused (loglik, grad, packed negative Hessian) of the Bernoulli-logit
+    likelihood wrt beta — the obs pass of the Newton-MH kernel
+    (kernels/newton.py).
+
+    Returns ((C, G) loglik, (C, G, p) grad, (C, G, T) packed -H_lik) with
+    T = p(p+1)/2 (smallchol layout). The likelihood's negative Hessian is
+    sum_i m_i w_i x_i x_i^T, w = sigmoid(eta)(1 - sigmoid(eta)) — computed
+    from the SAME sigmoid as the gradient, so the Hessian costs p(p+1)/2
+    extra multiply-accumulates per obs and zero extra transcendentals.
+    """
+    eta = _eta_padded(beta, x)
+    s = nn.sigmoid(eta)
+    ll = jnp.sum((y * eta - nn.softplus(eta)) * mask, axis=-1)
+    resid = (y - s) * mask                               # (C, G, n)
+    g = jnp.einsum(
+        "cgn,gnp->cgp", resid, x,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    w = s * (1.0 - s) * mask
+    return ll, g, _xxt_packed(x, w)
+
+
+def poisson_logp_grad_hess_padded(beta, x, y, mask, lgamma_y=None):
+    """Poisson analog of :func:`logistic_logp_grad_hess_padded`:
+    w = exp(eta), grad = sum_i m_i (y_i - exp(eta_i)) x_i."""
+    eta = _eta_padded(beta, x)
+    rate = jnp.exp(eta)
+    if lgamma_y is None:
+        lgamma_y = gammaln(y + 1.0)
+    ll = jnp.sum((y * eta - rate - lgamma_y) * mask, axis=-1)
+    resid = (y - rate) * mask
+    g = jnp.einsum(
+        "cgn,gnp->cgp", resid, x,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return ll, g, _xxt_packed(x, rate * mask)
+
+
+def logistic_logp_grad_hess_segment(beta, x, y, segment_ids, num_groups):
+    """Ragged (segment) form of :func:`logistic_logp_grad_hess_padded` with
+    O(C N) peak memory (per-coordinate gathers/reductions, like
+    :func:`logistic_logp_grad_segment`)."""
+    eta = _eta_segment_lean(beta, x, segment_ids)        # (C, N)
+    s = nn.sigmoid(eta)
+    ll = y * eta - nn.softplus(eta)
+    out = _segsum_cn(ll, segment_ids, num_groups)
+    resid = y - s                                        # (C, N)
+    p = beta.shape[-1]
+    grads = [
+        _segsum_cn(resid * x[:, k], segment_ids, num_groups)
+        for k in range(p)
+    ]
+    w = s * (1.0 - s)
+    hcols = [
+        _segsum_cn(w * (x[:, i] * x[:, j]), segment_ids, num_groups)
+        for i in range(p) for j in range(i + 1)
+    ]
+    return out, jnp.stack(grads, axis=-1), jnp.stack(hcols, axis=-1)
+
+
 def logistic_logp_grad_segment(beta, x, y, segment_ids, num_groups):
     """Fused value+grad of the ragged Bernoulli-logit log-likelihood.
 

@@ -98,6 +98,25 @@ def _eta_vpu(x, b, p: int):
     return eta
 
 
+def _lik_terms_w(eta, y, m):
+    """(ll, resid, w) with w = sigmoid(eta)(1 - sigmoid(eta)) — the
+    Newton-MH obs pass. w = e * inv^2 reuses the SAME e = exp(-|eta|) and
+    inv = 1/(1+e) as the loglik and residual (symmetric in the sign of eta),
+    so the Hessian weights cost zero extra transcendentals."""
+    e = jnp.exp(-jnp.abs(eta))
+    sp = jnp.maximum(eta, 0.0) + jnp.log1p(e)
+    ll = y * eta - sp
+    inv = 1.0 / (1.0 + e)
+    sig = jnp.where(eta >= 0.0, inv, e * inv)
+    resid = y - sig
+    w = e * inv * inv
+    if m is not None:
+        ll = ll * m
+        resid = resid * m
+        w = w * m
+    return ll, resid, w
+
+
 def _lik_terms(eta, y, m, need_resid: bool = True):
     """Masked Bernoulli-logit log-lik terms (and residuals) from ONE
     exp + ONE log1p.
@@ -208,6 +227,91 @@ def _make_logp_grad_kernel(p: int, dense: bool = False):
             gout_ref[:, k, :] = g * valid if dense else g
 
     return _logp_grad_kernel
+
+
+def _make_logp_grad_hess_kernel(p: int, dense: bool = False):
+    def _kernel(x_ref, y_ref, mask_ref, beta_ref,
+                out_ref, gout_ref, hout_ref):
+        # hess[c,g,t] = sum_i mask * w * x[g,i,a] * x[g,i,b] for the packed
+        # lower-triangle pairs t <-> (a, b) (ops/smallchol layout)
+        x = x_ref[:]
+        eta = _eta_vpu(x, beta_ref[:], p)  # (TG, n, TC)
+        y = y_ref[:][:, :, None]
+        m = None if dense else mask_ref[:][:, :, None]
+        ll, resid, w = _lik_terms_w(eta, y, m)
+        valid = _dense_valid(mask_ref[:]) if dense else None
+        out = jnp.sum(ll, axis=1)
+        out_ref[:] = out * valid if dense else out
+        for k in range(p):
+            g = jnp.sum(x[:, :, k][:, :, None] * resid, axis=1)
+            gout_ref[:, k, :] = g * valid if dense else g
+        t = 0
+        for i in range(p):
+            for j in range(i + 1):
+                xx = (x[:, :, i] * x[:, :, j])[:, :, None]  # (TG, n, 1)
+                h = jnp.sum(xx * w, axis=1)
+                hout_ref[:, t, :] = h * valid if dense else h
+                t += 1
+
+    return _kernel
+
+
+def logistic_logp_grad_hess_pallas(beta, x, y, mask,
+                                   interpret: bool | None = None,
+                                   dense: bool = False):
+    """Fused value+grad+packed-negative-Hessian for Newton-MH:
+    ((C,G), (C,G,p), (C,G,T)) in ONE obs pass, T = p(p+1)/2.
+
+    Parity contract: ops.loglik.logistic_logp_grad_hess_padded. The Hessian
+    weights share the gradient's transcendentals (see _lik_terms_w); the
+    incremental cost is T reduction passes over the (TG, n, TC) tile —
+    arithmetic only, under the kernel's transcendental roofline.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    C, G, p = beta.shape
+    T = p * (p + 1) // 2
+    n = x.shape[1]
+    TC = _pick_tile(C, (256, 128, 64, 32, 16, 8))
+    TG = _group_tile(n, p, TC, G, n_inter=3,
+                     extra_out=(_r8(p) + _r8(T)) * _r128(TC) * 4, max_tg=64)
+    bt = jnp.transpose(beta, (1, 2, 0))
+    (x_p, y_p, mask_p, bt_p), Gp = _pad_groups([x, y, mask, bt], G, TG)
+
+    grid = (Gp // TG, C // TC)
+    out, gout, hout = pl.pallas_call(
+        _make_logp_grad_hess_kernel(p, dense),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TG, n, p), lambda g, c: (g, 0, 0)),
+            pl.BlockSpec((TG, n), lambda g, c: (g, 0)),
+            pl.BlockSpec((TG, n), lambda g, c: (g, 0)),
+            pl.BlockSpec((TG, p, TC), lambda g, c: (g, 0, c)),
+        ],
+        out_specs=[
+            pl.BlockSpec((TG, TC), lambda g, c: (g, c)),
+            pl.BlockSpec((TG, p, TC), lambda g, c: (g, 0, c)),
+            pl.BlockSpec((TG, T, TC), lambda g, c: (g, 0, c)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Gp, C), jnp.float32),
+            jax.ShapeDtypeStruct((Gp, p, C), jnp.float32),
+            jax.ShapeDtypeStruct((Gp, T, C), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(4 + 3 * (T + p) // 2) * C * Gp * n * p
+            + 8 * C * Gp * n,
+            bytes_accessed=4 * (Gp * n * p + 2 * Gp * n
+                                + C * Gp * (1 + p + T) + C * Gp * p),
+            transcendentals=2 * C * Gp * n,
+        ),
+    )(x_p, y_p, mask_p, bt_p)
+    return (
+        out[:G].T,
+        jnp.transpose(gout[:G], (2, 0, 1)),
+        jnp.transpose(hout[:G], (2, 0, 1)),
+    )
 
 
 def logistic_logp_grad_pallas(beta, x, y, mask, interpret: bool | None = None,
