@@ -41,10 +41,26 @@ def grad_cache_live(model: ModelSpec, cfg: SamplerConfig) -> bool:
     )
 
 
+def newton_cache_live(model: ModelSpec, cfg: SamplerConfig) -> bool:
+    """True when some cond_cached_newton block runs Newton-MH, so the
+    carried cache also holds the packed likelihood Hessian and joint moves
+    can upgrade to Laplace (Newton-ASIS) proposals."""
+    return any(
+        (b.algorithm or cfg.kernel.algorithm) == "newton"
+        and b.name in model.cond_cached_newton
+        for b in model.blocks
+        if b.name not in model.gibbs_draws
+    )
+
+
 def joint_move_target(model: ModelSpec, mname: str,
-                      cfg: SamplerConfig) -> float:
+                      cfg: SamplerConfig) -> "float | None":
+    """Acceptance target for the move's scale adaptation; None = the move
+    is parameter-free (Newton-ASIS Laplace proposal) and must not adapt."""
     t = model.joint_move_target_accept.get(mname, 0.234)
     if t == "auto":
+        if newton_cache_live(model, cfg):
+            return None
         t = MALA_TARGET_ACCEPT if grad_cache_live(model, cfg) else 0.234
     return float(t)
 
@@ -151,10 +167,11 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
             alpha = sum(alphas_m) / len(alphas_m)
             accept_sum[mname] = accept_sum[mname] + alpha
             if adapt:
-                log_scale[mname] = adapt_log_scale(
-                    log_scale[mname], alpha, t,
-                    joint_move_target(model, mname, cfg), cfg.kernel,
-                )
+                target = joint_move_target(model, mname, cfg)
+                if target is not None:
+                    log_scale[mname] = adapt_log_scale(
+                        log_scale[mname], alpha, t, target, cfg.kernel,
+                    )
 
         return KernelState(
             position=position,

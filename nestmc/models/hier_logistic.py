@@ -172,6 +172,14 @@ def make_hier_logistic(
             return -2.0 * a + 2.0 * b * jnp.exp(-2.0 * lt)
         return 1.0 - jnp.exp(2.0 * lt) / prior_tau_scale**2
 
+    def _tau_logprior_metric(lt):
+        """-d^2/d(log tau)^2 of _tau_logprior, elementwise — the prior term
+        of the Newton-ASIS metric. Positive for both priors (invgamma:
+        4 b e^{-2 lt}; halfnormal: 2 e^{2 lt} / S^2)."""
+        if conj_tau:
+            return 4.0 * tau_ig_scale * jnp.exp(-2.0 * lt)
+        return 2.0 * jnp.exp(2.0 * lt) / prior_tau_scale**2
+
     def _gprior(state):
         beta = state["beta"]                      # (C, G, p)
         mu = state["mu"][:, None, :]              # (C, 1, p)
@@ -347,6 +355,26 @@ def make_hier_logistic(
         )
         return nb, {"v": nv, "g": ng}, alpha
 
+    def fused_newton_beta_update(key, position, cache, log_scale, data):
+        """Single-kernel Newton-MH update of beta
+        (ops/pallas/newton_accept.py): Laplace propose + logp+grad+Hess obs
+        pass + full correction + accept + select in one pass."""
+        from nestmc.ops.pallas.newton_accept import (
+            fused_newton_logistic_step,
+        )
+
+        c = cache.get("beta")
+        if isinstance(c, dict) and "h" in c:
+            v, g, h = c["v"], c["g"], c["h"]
+        else:
+            v, g, h = lik_value_grad_hess(position["beta"], data)
+        nb, nv, ng, nh, alpha = fused_newton_logistic_step(
+            key, position["beta"], v, g, h, log_scale,
+            position["mu"], position["log_tau"],
+            data.x, data.y, data.mask, dense=_dense_data,
+        )
+        return nb, {"v": nv, "g": ng, "h": nh}, alpha
+
     def asis_tau_move(key, position, cache, scale, data):
         """ASIS interweaving move (Yu & Meng 2011): MH on log_tau in the
         NON-CENTERED parameterization with z = (beta - mu)/tau held fixed,
@@ -378,7 +406,53 @@ def make_hier_logistic(
         lik_cache = cache.get("beta")
         grad_mode = isinstance(lik_cache, dict)        # MALA/Newton cache
         newton_mode = grad_mode and "h" in lik_cache   # also carries -Hess
-        if grad_mode:
+
+        def _asis_metric(h_packed, d, lt_at):
+            """Packed (C, T) Gauss-Newton metric of the z-fixed target:
+            M_kl = sum_g h_g,kl d_gk d_gl + delta_kl * (-prior'').
+
+            The exact -F'' adds delta_kl sum_g (-g_gk d_gk), which can make
+            it indefinite in the tails; ANY deterministic positive-definite
+            position-function is a valid MH metric, so the PSD Gauss-Newton
+            form is used (guaranteed: per-group quadratic >= 0, prior term
+            > 0 for both priors)."""
+            from nestmc.ops.smallchol import packed_index
+
+            pm = _tau_logprior_metric(lt_at)           # (C, p)
+            cols = []
+            for i in range(p):
+                for j in range(i + 1):
+                    m = jnp.sum(
+                        h_packed[..., packed_index(i, j)]
+                        * d[..., i] * d[..., j],
+                        axis=1,
+                    )
+                    if i == j:
+                        m = m + pm[..., i]
+                    cols.append(m)
+            return jnp.stack(cols, axis=-1)            # (C, T)
+
+        if newton_mode:
+            # NEWTON-ASIS: Laplace proposal on the z-fixed target
+            # F(lt) = sum_g lik_g(mu + e^{lt} z) + log p(lt). Gradient by
+            # the chain rule off the carried likelihood gradient; metric
+            # from the carried likelihood Hessian (see _asis_metric) —
+            # zero extra obs passes, parameter-free (no adapted scale:
+            # kernels/gibbs.py skips adaptation when the target resolves
+            # to None), per-chain p-dim joint move.
+            from nestmc.ops.smallchol import (
+                chol_packed, half_logdet, lt_vec, solve_upper_t, spd_solve,
+            )
+
+            f_old = (
+                jnp.sum(lik_cache["g"] * diff, axis=1)
+                + _tau_logprior_grad(lt)
+            )                                          # (C, p)
+            m_metric_old = _asis_metric(lik_cache["h"], diff, lt)
+            L_old = chol_packed(m_metric_old, p)
+            mean_old = lt + spd_solve(L_old, f_old, p)
+            lt_new = mean_old + solve_upper_t(L_old, eps, p)
+        elif grad_mode:
             s2 = scale * scale                         # (C, 1)
             g_old = (
                 jnp.sum(lik_cache["g"] * diff, axis=1)
@@ -389,17 +463,34 @@ def make_hier_logistic(
             lt_new = lt + scale * eps                  # (C, p)
         ratio = jnp.exp(lt_new - lt)[:, None, :]       # tau'/tau
         beta_new = mu[:, None, :] + diff * ratio
-        if grad_mode:
+        if newton_mode:
             lik_old = lik_cache["v"]
-            if newton_mode:
-                # the Newton kernel's carried -Hessian must track beta: the
-                # rescale invalidates it, so the eval pass recomputes it in
-                # the same obs pass (w shares the gradient's sigmoid)
-                lik_new, grad_new, hess_new = lik_value_grad_hess(
-                    beta_new, data
-                )
-            else:
-                lik_new, grad_new = lik_value_and_grad(beta_new, data)
+            # the carried -Hessian must track beta: the rescale invalidates
+            # it, so the eval pass recomputes it in the same obs pass (w
+            # shares the gradient's sigmoid) — it also supplies the
+            # reverse-side metric below
+            lik_new, grad_new, hess_new = lik_value_grad_hess(
+                beta_new, data
+            )
+            diff_new = diff * ratio
+            f_new = (
+                jnp.sum(grad_new * diff_new, axis=1)
+                + _tau_logprior_grad(lt_new)
+            )
+            m_metric_new = _asis_metric(hess_new, diff_new, lt_new)
+            L_new = chol_packed(m_metric_new, p)
+            mean_new = lt_new + spd_solve(L_new, f_new, p)
+            w_fwd = lt_vec(L_old, lt_new - mean_old, p)
+            w_rev = lt_vec(L_new, lt - mean_new, p)
+            q_corr = (
+                -0.5 * jnp.sum(w_rev * w_rev, axis=-1)
+                + half_logdet(L_new, p)
+                + 0.5 * jnp.sum(w_fwd * w_fwd, axis=-1)
+                - half_logdet(L_old, p)
+            )
+        elif grad_mode:
+            lik_old = lik_cache["v"]
+            lik_new, grad_new = lik_value_and_grad(beta_new, data)
             g_new = (
                 jnp.sum(grad_new * diff * ratio, axis=1)
                 + _tau_logprior_grad(lt_new)
@@ -598,6 +689,10 @@ def make_hier_logistic(
         fused_updates_mala=(
             {} if isinstance(data, RaggedData)
             else {"beta": fused_mala_beta_update}
+        ),
+        fused_updates_newton=(
+            {} if isinstance(data, RaggedData)
+            else {"beta": fused_newton_beta_update}
         ),
         cond_value_and_grad=cond_value_and_grad,
         cond_cached_grad={
