@@ -51,7 +51,10 @@ def main() -> int:
         )
         cfg = SamplerConfig(
             kernel=KernelConfig(
-                algorithm=algorithm, fused_accept=(fused_s == "fused"),
+                algorithm=algorithm,
+                # newton engages its own fused step kernel through the
+                # same flag (fused_updates_newton table)
+                fused_accept=(fused_s == "fused" or algorithm == "newton"),
                 fused_sweep=(fused_s == "sweep"),
             ),
             run=RunConfig(

