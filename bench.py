@@ -65,10 +65,8 @@ def main() -> int:
     tau_prior = os.environ.get("NESTMC_BENCH_TAU_PRIOR", "invgamma")
     asis_repeats = int(os.environ.get("NESTMC_BENCH_ASIS_REPEATS", 1))
     fused = os.environ.get("NESTMC_BENCH_FUSED", "1") == "1"
-    fused_sweep = os.environ.get("NESTMC_BENCH_FUSED_SWEEP", "0") == "1"
     cfg = SamplerConfig(
-        kernel=KernelConfig(algorithm=algorithm, fused_accept=fused,
-                            fused_sweep=fused_sweep),
+        kernel=KernelConfig(algorithm=algorithm, fused_accept=fused),
         run=RunConfig(
             chains=chains_per_chip * n_dev,
             warmup=warmup,

@@ -1,7 +1,7 @@
-"""A/B on the judged config (1k-group hier logistic, MALA): fused MALA
-step kernel on/off x tau prior (halfnormal MH+ASIS vs invgamma conjugate),
-plus the whole-sweep fused path ('sweep-invgamma': 3 Pallas kernels +
-O(C p) jnp over a chains-minor carry, models/hier_logistic_fused.py).
+"""A/B on the judged config (1k-group hier logistic): fused MALA step
+kernel on/off x tau prior (halfnormal MH+ASIS vs invgamma conjugate), plus
+the Newton-MH path ('newton-invgamma', or 'newtonN-...' for N ASIS
+repeats; N=0 drops the interweave).
 
     /opt/venv/bin/python -m benchmarks.judged_ab [--chains 256] [--draws 2048]
 
@@ -55,7 +55,6 @@ def main() -> int:
                 # newton engages its own fused step kernel through the
                 # same flag (fused_updates_newton table)
                 fused_accept=(fused_s == "fused" or algorithm == "newton"),
-                fused_sweep=(fused_s == "sweep"),
             ),
             run=RunConfig(
                 chains=args.chains, warmup=args.warmup, draws=args.draws,

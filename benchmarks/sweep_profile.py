@@ -1,14 +1,18 @@
-"""Per-stage timing of the fused sweep vs the op-by-op sweep on the
-judged shape (C=256, G=1000, n=50, p=4 by default).
+"""Per-stage timing of the judged sweeps on the judged shape
+(C=256, G=1000, n=50, p=4 by default).
 
     /opt/venv/bin/python -m benchmarks.sweep_profile [--chains 256]
 
 Times, with scalar-host-read syncs (the axon tunnel's block_until_ready
 can return early):
-  - one frozen unfused sweep, one frozen fused sweep (scan of K for
-    per-sweep amortization)
-  - each fused kernel in isolation (mala+suff, asis eval, asis select)
+  - one frozen sweep per live path: unfused MALA, fused-step MALA
+    (ops/pallas/mala_accept.py), fused-step Newton
+    (ops/pallas/newton_accept.py)
+  - each hot kernel in isolation (fused MALA step, logp+grad eval, fused
+    Newton step, logp+grad+Hess eval), plus a copy-only grid control
 so the next op-count/fusion decision is driven by measured stage costs.
+--roofline adds achieved bytes/s + transcendentals/s vs the HBM spec and
+a measured on-chip transcendental peak (VERDICT r2 item 4).
 """
 
 from __future__ import annotations
@@ -64,142 +68,127 @@ def main() -> int:
     from nestmc.kernels.gibbs import make_sweep
     from nestmc.kernels.state import init_kernel_state
     from nestmc.models import make_hier_logistic, synth_logistic
-    from nestmc.ops.pallas.sweep_logistic import (
-        asis_eval_t,
-        asis_select_t,
-        fused_mala_suff_step_t,
+    from nestmc.ops.pallas.loglik_logistic import (
+        logistic_logp_grad_hess_pallas,
+        logistic_logp_grad_pallas,
     )
+    from nestmc.ops.pallas.mala_accept import fused_mala_logistic_step
+    from nestmc.ops.pallas.newton_accept import fused_newton_logistic_step
 
-    C, G = args.chains, args.groups
-    data, _ = synth_logistic(jax.random.key(2000), G=G, n=args.obs,
-                             p=args.p)
+    C, G, n, p = args.chains, args.groups, args.obs, args.p
+    data, _ = synth_logistic(jax.random.key(2000), G=G, n=n, p=p)
     model = make_hier_logistic(data, tau_prior="invgamma")
     res = {"chains": C, "groups": G}
 
-    # ---- whole sweeps ----
+    # ---- whole frozen sweeps per live path ----
     for name, kcfg in [
-        ("unfused", KernelConfig(algorithm="mala")),
-        ("fused_accept", KernelConfig(algorithm="mala",
+        ("unfused_mala", KernelConfig(algorithm="mala")),
+        ("fused_mala", KernelConfig(algorithm="mala", fused_accept=True)),
+        ("fused_newton", KernelConfig(algorithm="newton",
                                       fused_accept=True)),
-        ("fused_sweep", KernelConfig(algorithm="mala", fused_sweep=True)),
     ]:
         cfg = SamplerConfig(kernel=kcfg, run=RunConfig(chains=C, seed=0))
         state = init_kernel_state(model, cfg, jax.random.key(0), data)
-        if name == "fused_sweep":
-            impl = model.fused_sweep(cfg, data)
-            if impl is None:
-                res[name] = None
-                continue
-            fstate = jax.jit(impl.to_fused)(state)
-            fdata = jax.jit(impl.prep_data)(data)
-            sec = _timed(
-                lambda s: impl.sweep(s, fdata, adapt=False), fstate
-            )
-        else:
-            sweep = make_sweep(model, cfg)
-            sec = _timed(lambda s: sweep(s, data, adapt=False), state)
+        sweep = make_sweep(model, cfg)
+        sec = _timed(lambda s: sweep(s, data, adapt=False), state)
         res[name] = round(sec * 1e6, 1)
         print(json.dumps({name: res[name]}), flush=True)
 
-    # ---- fused stages in isolation ----
-    cfg = SamplerConfig(kernel=KernelConfig(algorithm="mala",
-                                            fused_sweep=True),
+    # ---- hot kernels in isolation (chained carries: nothing DCE'd) ----
+    cfg = SamplerConfig(kernel=KernelConfig(algorithm="newton"),
                         run=RunConfig(chains=C, seed=0))
-    impl = model.fused_sweep(cfg, data)
-    if impl is not None:
-        state = init_kernel_state(model, cfg, jax.random.key(0), data)
-        fs = jax.jit(impl.to_fused)(state)
-        fd = jax.jit(impl.prep_data)(data)
-        beta = fs.position["beta"]
-        v, g = fs.cache["beta"]["v"], fs.cache["beta"]["g"]
-        ls = fs.log_scale["beta"]
-        mu, lt = fs.position["mu"], fs.position["log_tau"]
-        itau2 = jnp.exp(-2.0 * lt)
-        ratio = jnp.exp(0.01 * jnp.ones_like(lt))
-        key = jax.random.key(1)
+    state = init_kernel_state(model, cfg, jax.random.key(0), data)
+    beta = state.position["beta"]
+    cache = state.cache["beta"]
+    v, g, h = cache["v"], cache["g"], cache["h"]
+    mu, lt = state.position["mu"], state.position["log_tau"]
+    ls2 = state.log_scale["beta"]
+    key = jax.random.key(1)
+    dense = True  # synth data is fully dense
 
-        def k1(b):
-            return fused_mala_suff_step_t(
-                key, b, v, g, ls, mu, itau2, fd.x, fd.y, fd.mask
-            )[0]
-
-        def k2(b):
-            # carry must keep beta's shape; the zero-scaled grad add keeps
-            # the kernel in the dependency chain
-            lik, gnew, dsum = asis_eval_t(b, v, mu, ratio, fd.x, fd.y,
-                                          fd.mask)
-            return b + 0.0 * gnew
-
-        lik_new, g_new, _ = asis_eval_t(beta, v, mu, ratio, fd.x, fd.y,
-                                        fd.mask)
-        acc = jnp.ones((1, C), jnp.float32)
-
-        def k3(b):
-            return asis_select_t(b, v, g, lik_new, g_new, mu, ratio, acc,
-                                 fd.mask)[0]
-
-        for name, fn in [("k_mala_suff", k1), ("k_asis_eval", k2),
-                         ("k_asis_select", k3)]:
-            res[name] = round(_timed(fn, beta) * 1e6, 1)
-            print(json.dumps({name: res[name]}), flush=True)
-
-        # fixed pallas dispatch overhead: a copy-only kernel same grid
-        # shape as the select kernel — subtract from stage times to get
-        # true compute
-        from jax.experimental import pallas as pl
-
-        def _copy_kernel(b_ref, o_ref):
-            o_ref[:] = b_ref[:]
-
-        Gp, P, Cc = beta.shape
-        TCn = 256 if Cc % 256 == 0 else 128
-
-        def k_noop(b):
-            return pl.pallas_call(
-                _copy_kernel,
-                grid=(Gp // 64, Cc // TCn),
-                in_specs=[pl.BlockSpec((64, P, TCn),
-                                       lambda g, c: (g, 0, c))],
-                out_specs=pl.BlockSpec((64, P, TCn),
-                                       lambda g, c: (g, 0, c)),
-                out_shape=jax.ShapeDtypeStruct((Gp, P, Cc), jnp.float32),
-            )(b)
-
-        res["k_copy_only"] = round(_timed(k_noop, beta) * 1e6, 1)
-        print(json.dumps({"k_copy_only": res["k_copy_only"]}), flush=True)
-
-        # the round-1 kernel (canonical layout, transposes inside) for
-        # comparison: isolates what the layout change buys per call
-        from nestmc.ops.pallas.mala_accept import fused_mala_logistic_step
-
-        beta_c = state.position["beta"]
-        v_c, g_c = (state.cache["beta"]["v"], state.cache["beta"]["g"])
-        ls_c = state.log_scale["beta"]
-        mu_c, lt_c = state.position["mu"], state.position["log_tau"]
-
-        def k_old(b):
-            return fused_mala_logistic_step(
-                key, b, v_c, g_c, ls_c, mu_c, lt_c,
-                data.x, data.y, data.mask,
-            )[0]
-
-        res["k_mala_old_transposing"] = round(
-            _timed(k_old, beta_c) * 1e6, 1
+    def k_mala(carry):
+        b, vv, gg, k = carry
+        k, k2 = jax.random.split(k)
+        nb, nv, ng, _ = fused_mala_logistic_step(
+            k2, b, vv, gg, ls2 - 1.5, mu, lt, data.x, data.y, data.mask,
+            dense=dense,
         )
+        return nb, nv, ng, k
 
-        if args.roofline:
-            res["roofline"] = _roofline(
-                beta, fd, res, C=Cc, Gp=Gp, n=args.obs, p=P
-            )
-            print(json.dumps({"roofline": res["roofline"]}, indent=2),
-                  flush=True)
+    res["k_mala_step"] = round(_timed(k_mala, (beta, v, g, key)) * 1e6, 1)
+    print(json.dumps({"k_mala_step": res["k_mala_step"]}), flush=True)
+
+    def k_grad(carry):
+        b, s = carry
+        lv, lg = logistic_logp_grad_pallas(
+            b, data.x, data.y, data.mask, dense=dense
+        )
+        return b + 1e-6 * lg, s + jnp.sum(lv)
+
+    res["k_eval_grad"] = round(_timed(k_grad, (beta, 0.0)) * 1e6, 1)
+    print(json.dumps({"k_eval_grad": res["k_eval_grad"]}), flush=True)
+
+    def k_newton(carry):
+        b, vv, gg, hh, k = carry
+        k, k2 = jax.random.split(k)
+        nb, nv, ng, nh, _ = fused_newton_logistic_step(
+            k2, b, vv, gg, hh, ls2, mu, lt, data.x, data.y, data.mask,
+            dense=dense,
+        )
+        return nb, nv, ng, nh, k
+
+    res["k_newton_step"] = round(
+        _timed(k_newton, (beta, v, g, h, key)) * 1e6, 1
+    )
+    print(json.dumps({"k_newton_step": res["k_newton_step"]}), flush=True)
+
+    def k_vgh(carry):
+        b, s = carry
+        lv, lg, lh = logistic_logp_grad_hess_pallas(
+            b, data.x, data.y, data.mask, dense=dense
+        )
+        return b + 1e-6 * lg, s + jnp.sum(lv) + jnp.sum(lh)
+
+    res["k_eval_vgh"] = round(_timed(k_vgh, (beta, 0.0)) * 1e6, 1)
+    print(json.dumps({"k_eval_vgh": res["k_eval_vgh"]}), flush=True)
+
+    # fixed pallas dispatch overhead: a copy-only kernel over the same
+    # (G, p, C)-sized buffer — subtract from stage times for true compute
+    from jax.experimental import pallas as pl
+
+    def _copy_kernel(b_ref, o_ref):
+        o_ref[:] = b_ref[:]
+
+    bt = jnp.transpose(beta, (1, 2, 0))
+    Gp = (G + 15) // 16 * 16
+    bt = jnp.pad(bt, ((0, Gp - G), (0, 0), (0, 0)))
+    TCn = 256 if C % 256 == 0 else 128
+
+    def k_noop(b):
+        return pl.pallas_call(
+            _copy_kernel,
+            grid=(Gp // 16, C // TCn),
+            in_specs=[pl.BlockSpec((16, p, TCn),
+                                   lambda g, c: (g, 0, c))],
+            out_specs=pl.BlockSpec((16, p, TCn),
+                                   lambda g, c: (g, 0, c)),
+            out_shape=jax.ShapeDtypeStruct((Gp, p, C), jnp.float32),
+        )(b)
+
+    res["k_copy_only"] = round(_timed(k_noop, bt) * 1e6, 1)
+    print(json.dumps({"k_copy_only": res["k_copy_only"]}), flush=True)
+
+    if args.roofline:
+        res["roofline"] = _roofline(res, C=C, G=G, n=n, p=p)
+        print(json.dumps({"roofline": res["roofline"]}, indent=2),
+              flush=True)
 
     res["unit"] = "us_per_sweep_or_call"
     print(json.dumps(res))
     return 0
 
 
-def _roofline(beta, fd, res, C, Gp, n, p):
+def _roofline(res, C, G, n, p):
     """Quantified utilization of the hot kernels vs measured device peaks.
 
     For each timed stage: analytic minimal HBM traffic (every operand
@@ -207,46 +196,45 @@ def _roofline(beta, fd, res, C, Gp, n, p):
     time, vs (a) the v5e HBM spec 819 GB/s and (b) an EMPIRICAL
     transcendental peak — a same-shape Pallas kernel that only streams the
     obs block and applies one exp+log1p per element, timed on this chip.
-    That makes the 'transcendental-bound within ~1.3x of the VPU floor'
-    claim (DESIGN.md section 2) a measured number, not prose
-    (VERDICT r2 item 4).
+    That makes the 'transcendental-bound' claim (DESIGN.md section 2) a
+    measured number, not prose (VERDICT r2 item 4).
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
     f = 4  # f32 bytes
-    # per-call minimal HBM bytes: obs block (x, y, mask) + chain-carried
-    # blocks in/out.
-    obs_bytes = f * (Gp * n * p + 2 * Gp * n)
-    carry3 = f * Gp * p * C       # one (Gp, p, C) array
-    carry2 = f * Gp * C           # one (Gp, C) array
+    T = p * (p + 1) // 2
+    obs_bytes = f * (G * n * p + 2 * G * n)
+    c3 = f * G * p * C            # one (G, p, C)-sized array
+    c2 = f * G * C
+    cT = f * G * T * C
     stages = {
-        # in: obs + beta,v,g,ls; out: beta,v,g,alpha (+s1,s2 ~ p*C, negl.)
-        "k_mala_suff": {
-            "bytes": obs_bytes + 4 * carry3 + 4 * carry2,
-            # per obs element: one exp + one log1p (single-exp _lik_terms)
-            # + noise (Box-Muller: log, cos, sqrt ~ 3 per beta element)
-            "transcendentals": 2 * C * Gp * n + 3 * C * Gp * p,
+        # in: obs + beta,v,g,ls; out: beta,v,g,alpha
+        "k_mala_step": {
+            "bytes": obs_bytes + 4 * c3 + 4 * c2,
+            "transcendentals": 2 * C * G * n + 3 * C * G * p,
         },
-        # in: obs + beta,v; out: lik_new, g_new (+dsum)
-        "k_asis_eval": {
-            "bytes": obs_bytes + 2 * carry3 + 2 * carry2,
-            "transcendentals": 2 * C * Gp * n,
+        "k_eval_grad": {
+            "bytes": obs_bytes + 2 * c3 + c2,
+            "transcendentals": 2 * C * G * n,
         },
-        # in: beta,v,g,lik_new,g_new; out: beta,v,g — no obs pass
-        "k_asis_select": {
-            "bytes": 4 * carry3 + 3 * carry2,
-            "transcendentals": 0,
+        # in: obs + beta,v,g,h,ls; out: beta,v,g,h,alpha
+        "k_newton_step": {
+            "bytes": obs_bytes + 4 * c3 + 2 * cT + 4 * c2,
+            "transcendentals": 2 * C * G * n + 3 * C * G * p,
+        },
+        "k_eval_vgh": {
+            "bytes": obs_bytes + 2 * c3 + cT + c2,
+            "transcendentals": 2 * C * G * n,
         },
     }
 
     # empirical transcendental peak: stream the obs-sized block, apply
-    # exp+log1p per element, write one (TG, TC) reduction — the same
-    # compute/traffic shape as the likelihood inner loop with everything
-    # else stripped.
+    # exp+log1p per element, write one (TG, TC) reduction.
     TC = 256 if C % 256 == 0 else 128
     TG = 16
+    Gp = (G + TG - 1) // TG * TG
 
     def _trans_kernel(x_ref, o_ref):
         x = x_ref[:]                                   # (TG, n, TC)

@@ -33,10 +33,12 @@ class KernelConfig:
     algorithm: str = "rwmh"
     fused_accept: bool = False  # use single-kernel propose+lik+accept
     # updates where the model provides one (Pallas; own PRNG stream)
-    fused_sweep: bool = False  # use the model's whole-sweep fused
-    # implementation where it provides one (ModelSpec.fused_sweep): the
-    # entire Gibbs sweep as a few Pallas kernels over a chains-minor
-    # carry (own PRNG stream for the proposal noise, like fused_accept)
+    fused_sweep: bool = False  # DEPRECATED no-op, kept so configs
+    # serialized by older checkpoints/artifacts still deserialize. The
+    # whole-sweep fused path was measured within ~4% of (and never above)
+    # the fused-step path and was removed when the joint metric-ASIS move
+    # changed the sweep it mirrored (DESIGN.md section 4a; git history
+    # has the implementation).
     target_accept: float | None = None
     adapt_c: float = 1.0
     adapt_t0: float = 10.0

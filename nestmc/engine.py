@@ -67,17 +67,9 @@ def _segment_lengths(total: int, segment: int):
 
 
 def build_step_fns(model: ModelSpec, cfg: SamplerConfig, data=None):
-    """The two jitted segment programs (warmup, sampling) and the fused
-    whole-sweep implementation (or None when the op-by-op sweep runs)."""
-    fused = None
-    if cfg.kernel.fused_sweep and model.fused_sweep is not None:
-        fused = model.fused_sweep(cfg, data)
-    if fused is not None:
-        sweep = fused.sweep
-        collect = fused.collect
-    else:
-        sweep = make_sweep(model, cfg)
-        collect = _collector(model, cfg)
+    """The two jitted segment programs (warmup, sampling)."""
+    sweep = make_sweep(model, cfg)
+    collect = _collector(model, cfg)
     thin = max(1, cfg.run.thin)
     donate = (0,) if cfg.sharding.donate_carry else ()
 
@@ -109,7 +101,7 @@ def build_step_fns(model: ModelSpec, cfg: SamplerConfig, data=None):
             )
             return carry, draws
 
-        return warmup_segment, sample_segment, fused
+        return warmup_segment, sample_segment
 
     # full_rhat variant: thread streaming split-R-hat Welford accumulators
     # (over the FULL position pytree) through the scan alongside the carry.
@@ -151,7 +143,7 @@ def build_step_fns(model: ModelSpec, cfg: SamplerConfig, data=None):
         )
         return carry, acc, draws
 
-    return warmup_segment, sample_segment_rhat, fused
+    return warmup_segment, sample_segment_rhat
 
 
 def _accept_rates(state: KernelState, sweeps: int):
@@ -167,17 +159,12 @@ def _reset_accept(state: KernelState) -> KernelState:
     return dc_replace(state, accept_sum=zeros)
 
 
-def _maybe_checkpoint(cfg: SamplerConfig, state, phase, seg_idx, extra=None,
-                      to_canonical=None):
+def _maybe_checkpoint(cfg: SamplerConfig, state, phase, seg_idx, extra=None):
     rc = cfg.run
     if not rc.checkpoint_dir or rc.checkpoint_every <= 0:
         return
     if (seg_idx + 1) % rc.checkpoint_every != 0:
         return
-    if to_canonical is not None:
-        # fused-layout carries are checkpointed in canonical layout so a
-        # resume works regardless of the resuming config's sweep path
-        state = to_canonical(state)
     meta = {"phase": phase, "segment": seg_idx + 1, "config": cfg.to_dict()}
     if extra:
         meta.update(extra)
@@ -213,17 +200,7 @@ def sample(
     else:
         state = init_kernel_state(model, cfg, key, data, init_position)
     state, data = shard_inputs(state, data, model, cfg, mesh)
-    warmup_segment, sample_segment, fused = build_step_fns(model, cfg, data)
-    if fused is not None:
-        # fused whole-sweep path: move the data and the carry into the
-        # model's fused layout ONCE (the layout persists across sweeps;
-        # canonical-layout states are reconstructed only at checkpoint /
-        # result boundaries via from_fused)
-        data = jax.jit(fused.prep_data)(data)
-        state = jax.jit(fused.to_fused)(state)
-    canon = (
-        jax.jit(fused.from_fused) if fused is not None else (lambda s: s)
-    )
+    warmup_segment, sample_segment = build_step_fns(model, cfg, data)
     timings = {"setup_s": time.perf_counter() - t_setup}
 
     # The FIRST device execution in a process pays a one-time backend
@@ -263,8 +240,8 @@ def sample(
                 rate = done / max(time.perf_counter() - t_w, 1e-9)
                 log.info("warmup: %d/%d sweeps (%.0f sweeps/s)",
                          done, rc.warmup, rate)
-            _maybe_checkpoint(cfg, state, "warmup", i, to_canonical=canon)
-        warm_rates = _accept_rates(canon(state), rc.warmup)
+            _maybe_checkpoint(cfg, state, "warmup", i)
+        warm_rates = _accept_rates(state, rc.warmup)
         state = _reset_accept(state)
     timings["warmup_s"] = time.perf_counter() - t_w
 
@@ -335,8 +312,7 @@ def sample(
                 extra = f", worst split-rhat so far {float(worst):.4f}"
             log.info("sample: %d/%d draws (%.0f sweeps/s)%s",
                      drawn, rc.draws, rate, extra)
-        _maybe_checkpoint(cfg, state, "sample", i, {"draws_done": drawn},
-                          to_canonical=canon)
+        _maybe_checkpoint(cfg, state, "sample", i, {"draws_done": drawn})
     if segments:
         draws = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=1), *segments
@@ -345,21 +321,12 @@ def sample(
     else:
         draws = {}
     timings["sample_s"] = time.perf_counter() - t_s
-    if fused is not None:
-        state = canon(state)  # canonical layout for rates/resume/result
 
     full_rhat_map = None
     if acc is not None:
         from nestmc.diagnostics import streaming_rhat_finalize
 
-        chain_axes = (
-            fused.rhat_chain_axes() if fused is not None else None
-        )
-        full_rhat_map = jax.jit(
-            partial(streaming_rhat_finalize, chain_axes=chain_axes)
-        )(acc)
-        if fused is not None:
-            full_rhat_map = fused.trim_full_rhat(full_rhat_map)
+        full_rhat_map = jax.jit(streaming_rhat_finalize)(acc)
 
     total_sample_sweeps = rc.draws * max(1, rc.thin)
     post = Posterior(

@@ -112,12 +112,20 @@ def init_kernel_state(
             log_scale[b.name] = jnp.zeros_like(log_scale[b.name])
         else:
             cache[b.name] = None
+    from nestmc.kernels.gibbs import grad_cache_live
+
+    grad_live = grad_cache_live(model, cfg)
     for mname in model.joint_moves:
         # joint moves carry one per-chain proposal scale + accept counter;
         # models whose move sums log-alpha over many units override the
         # default start (ModelSpec.joint_move_init_scale) — RM adaptation
-        # needs O(100) sweeps per decade of initial-scale error.
-        s0 = model.joint_move_init_scale.get(mname, 0.1)
+        # needs O(100) sweeps per decade of initial-scale error. When the
+        # gradient cache is live the move runs metric-preconditioned and
+        # its natural scale is O(1) (joint_move_init_scale_grad).
+        if grad_live and mname in model.joint_move_init_scale_grad:
+            s0 = model.joint_move_init_scale_grad[mname]
+        else:
+            s0 = model.joint_move_init_scale.get(mname, 0.1)
         log_scale[mname] = jnp.full((chains, 1), math.log(s0), dtype)
         accept_sum[mname] = jnp.zeros((chains, 1), dtype)
     return KernelState(

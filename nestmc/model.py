@@ -152,6 +152,13 @@ class ModelSpec:
     # s ~ G^(-1/2); Robbins-Monro takes O(100) sweeps per decade of scale
     # error, so a size-aware start is what makes short warmups viable.
     joint_move_init_scale: dict = dataclasses.field(default_factory=dict)
+    # {move_name: s0}: initial proposal scale used INSTEAD of
+    # joint_move_init_scale when the gradient cache is live (the move then
+    # runs metric-preconditioned, so its natural scale is O(1) — not the
+    # G-dependent unpreconditioned random-walk scale).
+    joint_move_init_scale_grad: dict = dataclasses.field(
+        default_factory=dict
+    )
     # {move_name: target}: acceptance target for the move's scale
     # adaptation. A float is used as-is (default 0.234, the RW optimum);
     # the string 'auto' resolves at kernel-build time to the MALA optimum
@@ -190,12 +197,6 @@ class ModelSpec:
     # current value across sweeps — one likelihood+grad evaluation per
     # update instead of two.
     cond_cached_grad: dict = dataclasses.field(default_factory=dict)
-    # Optional whole-sweep fused implementation: fn(cfg, data) -> impl |
-    # None, where impl provides prep_data/to_fused/from_fused/sweep/collect
-    # over a model-owned carry layout (see models/hier_logistic_fused.py).
-    # Engaged by the engine when KernelConfig.fused_sweep is set and the
-    # factory accepts the config; None falls back to the op-by-op sweep.
-    fused_sweep: "Callable | None" = None
 
     def block(self, name: str) -> Block:
         for b in self.blocks:

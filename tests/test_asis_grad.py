@@ -53,33 +53,114 @@ def _ref_target(model, position, data, G):
 
 @pytest.mark.parametrize("tau_prior", ["halfnormal", "invgamma"])
 def test_grad_asis_one_step_alpha_matches_autodiff(tau_prior):
+    """The grad-mode move is now the JOINT (mu, tau) metric ASIS: a
+    preconditioned Langevin step on theta = (mu, log_tau) with the
+    data-constant Hessian-bound metric Mb. Reproduced independently: the
+    z-fixed target by jax.grad THROUGH the shift+rescale (validating the
+    move's hand-derived chain-rule gradient), Mb = 0.25 sum x x^T + prior
+    precision by numpy, the proposal map by dense Cholesky/solve, and the
+    explicit Gaussian q ratio."""
     data, model, position, cache = _setup(tau_prior)
     G = data.num_groups
+    p = data.num_covariates
     key = jax.random.key(11)
-    scale = jnp.full((C, 1), 0.05, jnp.float32)
+    scale = jnp.full((C, 1), 0.4, jnp.float32)
     pos_up, cache_up, alpha = model.joint_moves["asis_tau"](
         key, position, cache, scale, data
     )
 
     # independent replay: same key split discipline as the move
-    lt = position["log_tau"]
-    k1, _ = jax.random.split(key)
-    eps = jax.random.normal(k1, lt.shape, lt.dtype)
-    F, gF = _ref_target(model, position, data, G)
-    s = scale  # (C, 1)
-    g_old = gF(lt)
-    lt_new = lt + 0.5 * s * s * g_old + s * eps
-    g_new = gF(lt_new)
-    fwd = lt_new - lt - 0.5 * s * s * g_old
-    rev = lt - lt_new - 0.5 * s * s * g_new
-    log_alpha_ref = (
-        F(lt_new) - F(lt)
-        + jnp.sum(fwd * fwd - rev * rev, axis=-1) / (2.0 * s[:, 0] ** 2)
+    beta0 = np.asarray(position["beta"], np.float64)
+    mu0 = np.asarray(position["mu"], np.float64)
+    lt0 = np.asarray(position["log_tau"], np.float64)
+    k1, k2 = jax.random.split(key)
+    eps = np.asarray(
+        jax.random.normal(k1, (C, 2 * p), jnp.float32), np.float64
     )
-    alpha_ref = jnp.exp(jnp.minimum(log_alpha_ref, 0.0))
-    np.testing.assert_allclose(
-        np.asarray(alpha), np.asarray(alpha_ref), rtol=0, atol=2e-3
-    )
+    logu = np.asarray(jnp.log(jax.random.uniform(
+        k2, (C,), jnp.float32, minval=jnp.finfo(jnp.float32).tiny
+    )), np.float64)
+
+    # z-fixed joint target via the model's own joint density + Jacobian
+    def F_one(th, c):
+        z = (beta0[c] - mu0[c]) * np.exp(-lt0[c])
+        thj = jnp.asarray(th, jnp.float32)
+
+        def f(thj):
+            mu_j, lt_j = thj[:p], thj[p:]
+            bp = mu_j[None, :] + jnp.asarray(z, jnp.float32) * jnp.exp(
+                lt_j
+            )[None, :]
+            st = {
+                "beta": bp[None],
+                "mu": mu_j[None],
+                "log_tau": lt_j[None],
+            }
+            return (
+                model.joint_logdensity(st, data)[0]
+                + G * jnp.sum(lt_j)
+            )
+
+        return float(f(thj)), np.asarray(
+            jax.grad(lambda t: f(t))(thj), np.float64
+        )
+
+    # Hessian-bound metric, independently from the raw data
+    xm = np.asarray(data.x, np.float64) * np.asarray(
+        data.mask, np.float64
+    )[:, :, None]
+    xxt = 0.25 * np.einsum("gni,gnj->gij", xm, np.asarray(data.x))
+    S0 = 5.0
+    if tau_prior == "invgamma":
+        a_ig, b_ig = 2.0, 0.5
+        pm = lambda ltv: 4.0 * b_ig * np.exp(-2.0 * ltv)  # noqa: E731
+    else:
+        pm = lambda ltv: 2.0 * np.exp(2.0 * ltv) / 2.0**2  # noqa: E731
+
+    def metric(th, c):
+        mu_v, lt_v = th[:p], th[p:]
+        z = (beta0[c] - mu0[c]) * np.exp(-lt0[c])
+        d = z * np.exp(lt_v)[None, :]
+        M = np.zeros((2 * p, 2 * p))
+        for gi in range(G):
+            J = np.concatenate([np.eye(p), np.diag(d[gi])], axis=1)
+            M += J.T @ xxt[gi] @ J
+        M[:p, :p] += np.eye(p) / S0**2
+        M[p:, p:] += np.diag(pm(lt_v))
+        return M
+
+    alpha_np = np.asarray(alpha)
+    for c in range(C):
+        s = 0.4
+        th0 = np.concatenate([mu0[c], lt0[c]])
+        F0, gF0 = F_one(th0, c)
+        M0 = metric(th0, c)
+        L0 = np.linalg.cholesky(M0)
+        mean0 = th0 + 0.5 * s * s * np.linalg.solve(M0, gF0)
+        th1 = mean0 + s * np.linalg.solve(L0.T, eps[c])
+        F1, gF1 = F_one(th1, c)
+        M1 = metric(th1, c)
+        mean1 = th1 + 0.5 * s * s * np.linalg.solve(M1, gF1)
+
+        def q_lp(a, mean, M):
+            r = a - mean
+            return (
+                -0.5 * r @ M @ r / (s * s)
+                + 0.5 * np.linalg.slogdet(M)[1]
+            )
+
+        la = F1 - F0 + q_lp(th0, mean1, M1) - q_lp(th1, mean0, M0)
+        a_ext = min(1.0, np.exp(la))
+        assert abs(a_ext - alpha_np[c]) < 5e-3, (c, la, alpha_np[c])
+        accepted = logu[c] < la
+        np.testing.assert_allclose(
+            np.asarray(pos_up["log_tau"])[c],
+            th1[p:] if accepted else lt0[c], atol=5e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pos_up["mu"])[c],
+            th1[:p] if accepted else mu0[c], atol=5e-4,
+        )
 
     # the refreshed cache must hold the likelihood (value, grad) of the
     # SELECTED position (accepted -> proposal, rejected -> current)
