@@ -58,6 +58,8 @@ def joint_move_target(model: ModelSpec, mname: str,
     """Acceptance target for the move's scale adaptation; None = the move
     is parameter-free (Newton-ASIS Laplace proposal) and must not adapt."""
     t = model.joint_move_target_accept.get(mname, 0.234)
+    if t is None:
+        return None  # model pins the move as parameter-free (Laplace)
     if t == "auto":
         if newton_cache_live(model, cfg):
             return None

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import gammaln
 
-from nestmc.config import MALA_TARGET_ACCEPT
 from nestmc.data import NestedData3
 from nestmc.distributions import (
     log_scale_guard,
@@ -116,6 +115,13 @@ def make_nested_poisson(
             a, b = tau_ig_shape, tau_ig_scale
             return -2.0 * a + 2.0 * b * jnp.exp(-2.0 * lt)
         return 1.0 - jnp.exp(2.0 * lt) / prior_tau_scale**2
+
+    def _tau_logprior_metric(lt):
+        """-d^2/d(log tau)^2 of _tau_logprior — the prior term of the
+        Laplace interweave's metric; positive for both priors."""
+        if conj_tau:
+            return 4.0 * tau_ig_scale * jnp.exp(-2.0 * lt)
+        return 2.0 * jnp.exp(2.0 * lt) / prior_tau_scale**2
 
     def _sprior(state, d):
         # beta_s | beta_g: (C, S)
@@ -267,13 +273,19 @@ def make_nested_poisson(
         beta_g') plus the tau_g prior/Jacobian. O(C S p) elementwise, no
         likelihood evaluation.
 
-        ALWAYS a Langevin proposal: the z-fixed target's gradient is
-        analytic Gaussian algebra (no data touch), F'(lt)_k =
-        sum_s (beta_s - beta_g')_sk / tau_s^2 * (beta_g'(s) - mu)_sk
-        + d log p(tau_g)/d lt_k, so the drift costs the same O(C S p)
-        elementwise pass the acceptance already pays. Validated one-step
-        against autodiff of the joint (tests/test_asis_grad3.py) and by
-        the Geweke-3 tier."""
+        ALWAYS a LAPLACE proposal (parameter-free, no adapted scale —
+        joint_move_target_accept pins None): the z-fixed target's gradient
+        AND Gauss-Newton metric are analytic Gaussian algebra (no data
+        touch). Per coordinate k (coordinates factorize — the metric is
+        diagonal):
+          F'(lt)_k  = sum_s dev_sk / tau_s^2 * (beta_g'(s) - mu)_sk + pr'
+          M(lt)_k   = sum_s (beta_g'(s) - mu)_sk^2 / tau_s^2 + (-pr'')
+        (the PSD Gauss-Newton form of -F''; any deterministic PD
+        position-function is a valid metric), proposal
+        lt' = lt + F'/M + eps/sqrt(M) with the full asymmetric correction
+        including the log-determinant ratio. Validated one-step against
+        autodiff of the joint + dense reference (tests/test_asis_grad3.py)
+        and by the Geweke-3 tier."""
         k1, k2 = jax.random.split(key)
         bg, mu, lt = position["beta_g"], position["mu"], position["log_tau_g"]
         bs, lts = position["beta_s"], position["log_tau_s"]
@@ -281,30 +293,38 @@ def make_nested_poisson(
         inv_ts2 = jnp.exp(-2.0 * lts)[:, None, :]      # (C, 1, p)
         diff_g = bg - mu[:, None, :]                   # tau_g * z, (C, G, p)
 
-        def _quad_and_grad(bg_eff):
-            """(Σ_s -dev²/2τs² (C,), d/d lt_k (C, p)) — the lt-dependent
-            part of the subject prior; the -S log tau_s terms are constant
-            across the move and cancel in differences."""
+        def _quad_grad_metric(bg_eff, lt_at):
+            """(Σ_s -dev²/2τs² (C,), F' (C, p), M (C, p)) of the z-fixed
+            target at the rescale bg_eff; the -S log tau_s terms are
+            constant across the move and cancel in differences."""
             bg_s = jnp.take(bg_eff, data_.subject_group, axis=1)
             dev = bs - bg_s
+            d_s = bg_s - mu[:, None, :]
             val = jnp.sum(-0.5 * dev * dev * inv_ts2, axis=(1, 2))
-            grad = jnp.sum(
-                dev * inv_ts2 * (bg_s - mu[:, None, :]), axis=1
+            grad = (
+                jnp.sum(dev * inv_ts2 * d_s, axis=1)
+                + _tau_logprior_grad(lt_at)
             )
-            return val, grad
+            metric = (
+                jnp.sum(d_s * d_s * inv_ts2, axis=1)
+                + _tau_logprior_metric(lt_at)
+            )
+            return val, grad, metric
 
-        s2 = scale * scale                             # (C, 1)
-        val_old, gq_old = _quad_and_grad(bg)
-        g_old = gq_old + _tau_logprior_grad(lt)        # (C, p)
+        val_old, g_old, m_old = _quad_grad_metric(bg, lt)
         eps = jax.random.normal(k1, lt.shape, lt.dtype)
-        lt_new = lt + 0.5 * s2 * g_old + scale * eps
+        mean_old = lt + g_old / m_old
+        lt_new = mean_old + eps / jnp.sqrt(m_old)
         ratio = jnp.exp(lt_new - lt)[:, None, :]
         bg_new = mu[:, None, :] + diff_g * ratio
-        val_new, gq_new = _quad_and_grad(bg_new)
-        g_new = gq_new + _tau_logprior_grad(lt_new)
-        fwd = lt_new - lt - 0.5 * s2 * g_old           # = scale * eps
-        rev = lt - lt_new - 0.5 * s2 * g_new
-        q_corr = jnp.sum(fwd * fwd - rev * rev, axis=-1) / (2.0 * s2[:, 0])
+        val_new, g_new, m_new = _quad_grad_metric(bg_new, lt_new)
+        mean_new = lt_new + g_new / m_new
+        rev = lt - mean_new
+        q_corr = jnp.sum(
+            -0.5 * rev * rev * m_new + 0.5 * jnp.log(m_new)
+            + 0.5 * eps * eps - 0.5 * jnp.log(m_old),
+            axis=-1,
+        )
         prior_delta = jnp.sum(
             _tau_logprior(lt_new) + log_scale_guard(lt_new)
             - _tau_logprior(lt), axis=-1,
@@ -520,8 +540,9 @@ def make_nested_poisson(
             ),
         },
         joint_move_target_accept={
-            # tau_g's move is Langevin unconditionally (analytic gradient)
-            "asis_tau_g": MALA_TARGET_ACCEPT,
+            # tau_g's move is a parameter-free LAPLACE proposal (analytic
+            # gradient + metric); None = no scale adaptation
+            "asis_tau_g": None,
             # tau_s upgrades to Langevin only when the grad cache is live
             "asis_tau_s": "auto",
         },

@@ -53,14 +53,17 @@ def _mala_ref(F, lt, scale, key):
 
 
 @pytest.mark.parametrize("tau_prior", ["halfnormal", "invgamma"])
-def test_langevin_asis_tau_g_matches_autodiff(tau_prior):
-    """asis_tau_g is ALWAYS Langevin (its gradient is analytic Gaussian
-    algebra, no data touch) — validate against autodiff of the target."""
+def test_laplace_asis_tau_g_matches_autodiff(tau_prior):
+    """asis_tau_g is a parameter-free LAPLACE proposal (analytic gradient
+    and diagonal Gauss-Newton metric, no data touch) — validate the
+    gradient against autodiff of the target, the metric against jvp
+    Jacobians of the rescale map, and the full q ratio."""
     data, model, position = _setup(tau_prior)
     G = data.num_groups
+    p = position["log_tau_g"].shape[-1]
     key = jax.random.key(21)
-    scale = jnp.full((C, 1), 0.08, jnp.float32)
-    _, _, alpha = model.joint_moves["asis_tau_g"](
+    scale = jnp.full((C, 1), 0.08, jnp.float32)  # ignored (Laplace)
+    pos_up, _, alpha = model.joint_moves["asis_tau_g"](
         key, position, {}, scale, data
     )
 
@@ -68,15 +71,61 @@ def test_langevin_asis_tau_g_matches_autodiff(tau_prior):
         position["beta_g"], position["mu"], position["log_tau_g"],
     )
     tau_z = bg - mu[:, None, :]
+    inv_ts2 = jnp.exp(-2.0 * position["log_tau_s"])      # (C, p)
 
     def F(lt):
         bg_p = mu[:, None, :] + tau_z * jnp.exp(lt - lt0)[:, None, :]
         st = {**position, "beta_g": bg_p, "log_tau_g": lt}
         return model.joint_logdensity(st, data) + G * jnp.sum(lt, axis=-1)
 
-    alpha_ref = _mala_ref(F, lt0, scale, key)
+    gF = jax.grad(lambda v: jnp.sum(F(v)))
+
+    def bg_s_of(lt):
+        bg_p = mu[:, None, :] + tau_z * jnp.exp(lt - lt0)[:, None, :]
+        return jnp.take(bg_p, data.subject_group, axis=1)  # (C, S, p)
+
+    def metric(lt):
+        # GN metric via jvp Jacobians of the subject-level rescale map:
+        # M_k = sum_s (d bg_s,k / d lt_k)^2 / tau_s^2 + (-prior'')
+        cols = []
+        for k in range(p):
+            tangent = jnp.zeros_like(lt).at[:, k].set(1.0)
+            _, J = jax.jvp(bg_s_of, (lt,), (tangent,))
+            cols.append(jnp.sum(
+                J[..., k] ** 2 * inv_ts2[:, None, k], axis=1
+            ))
+        M = jnp.stack(cols, axis=-1)                      # (C, p)
+        # make_nested_poisson defaults: tau_ig_scale=0.25, HN scale 1.0
+        if tau_prior == "invgamma":
+            return M + 4.0 * 0.25 * jnp.exp(-2.0 * lt)
+        return M + 2.0 * jnp.exp(2.0 * lt) / 1.0**2
+
+    k1, k2 = jax.random.split(key)
+    eps = jax.random.normal(k1, lt0.shape, lt0.dtype)
+    logu = jnp.log(jax.random.uniform(
+        k2, (C,), lt0.dtype, minval=jnp.finfo(lt0.dtype).tiny
+    ))
+    m_old = metric(lt0)
+    mean_old = lt0 + gF(lt0) / m_old
+    lt1 = mean_old + eps / jnp.sqrt(m_old)
+    m_new = metric(lt1)
+    mean_new = lt1 + gF(lt1) / m_new
+    rev = lt0 - mean_new
+    q_corr = jnp.sum(
+        -0.5 * rev * rev * m_new + 0.5 * jnp.log(m_new)
+        + 0.5 * eps * eps - 0.5 * jnp.log(m_old),
+        axis=-1,
+    )
+    log_alpha_ref = F(lt1) - F(lt0) + q_corr
+    alpha_ref = jnp.exp(jnp.minimum(log_alpha_ref, 0.0))
     np.testing.assert_allclose(
         np.asarray(alpha), np.asarray(alpha_ref), rtol=0, atol=2e-3
+    )
+    accept = np.asarray(logu) < np.asarray(log_alpha_ref)
+    np.testing.assert_allclose(
+        np.asarray(pos_up["log_tau_g"]),
+        np.where(accept[:, None], np.asarray(lt1), np.asarray(lt0)),
+        atol=5e-4,
     )
 
 
