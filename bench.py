@@ -43,11 +43,13 @@ def main() -> int:
 
     # The judged model: 1k groups x 50 obs, p=4.
     data, _ = synth_logistic(jax.random.key(2000), G=1000, n=50, p=4)
-    # 3072 chains/chip: argmax of the round-3 chain scan under Langevin
-    # ASIS (sum-ESS / min-ESS per s/chip: 1536 -> 4.64M/30.4k, 2048 ->
-    # 4.68M/30.5k, 3072 -> 4.77M/31.1k, 4096 -> 4.70M/30.8k; all at
-    # all-param R-hat 1.0029-1.0030). The pre-grad-ASIS scan peaked at
-    # 2048 (round-2 numbers: 512 -> 4.04M ... 4096 -> 3.72M).
+    # 3072 chains/chip. Under the round-3 bound-metric joint ASIS the
+    # per-chain sweep throughput is FLAT across 2048-6144 (one-process
+    # frozen-sweep scan on v5e: 0.39/0.39/0.38/0.38 chain-sweeps/us —
+    # ESS/s/chip is therefore C-insensitive on this plateau; cross-process
+    # bench numbers carry +-30% axon tunnel timing variance, so same-
+    # process A/Bs are the comparison instrument). The earlier grad-ASIS
+    # scan argmax was also 3072.
     chains_per_chip = int(
         os.environ.get("NESTMC_BENCH_CHAINS_PER_CHIP", 3072)
     )

