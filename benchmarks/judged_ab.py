@@ -39,19 +39,30 @@ def main() -> int:
         fused_s, tau_s = variant.split("-")
         # variant grammar: <path>-<tau_prior> with path one of
         # unfused / fused / sweep (all MALA) or newton / newtonN (Newton-MH
-        # with N ASIS interweaving repeats, default 1; N=0 drops the move)
+        # with N ASIS interweaving repeats, default 1; N=0 drops the move;
+        # frozen-Hessian sampling phase per KernelConfig.newton_freeze) or
+        # rnewton[N] (refreshing Newton: newton_freeze=False, the Hessian
+        # obs pass runs every sampling sweep)
         algorithm = "mala"
         asis_repeats = 1
-        if fused_s.startswith("newton"):
+        newton_freeze = True
+        tok = fused_s
+        if tok.startswith("rnewton"):
             algorithm = "newton"
-            if fused_s != "newton":
-                asis_repeats = int(fused_s[len("newton"):])
+            newton_freeze = False
+            if tok != "rnewton":
+                asis_repeats = int(tok[len("rnewton"):])
+        elif tok.startswith("newton"):
+            algorithm = "newton"
+            if tok != "newton":
+                asis_repeats = int(tok[len("newton"):])
         model = make_hier_logistic(
             data, tau_prior=tau_s, asis_repeats=asis_repeats
         )
         cfg = SamplerConfig(
             kernel=KernelConfig(
                 algorithm=algorithm,
+                newton_freeze=newton_freeze,
                 # newton engages its own fused step kernel through the
                 # same flag (fused_updates_newton table)
                 fused_accept=(fused_s == "fused" or algorithm == "newton"),

@@ -33,6 +33,15 @@ class KernelConfig:
     algorithm: str = "rwmh"
     fused_accept: bool = False  # use single-kernel propose+lik+accept
     # updates where the model provides one (Pallas; own PRNG stream)
+    newton_freeze: bool = True  # Newton-MH: FREEZE the carried likelihood
+    # Hessian at warmup end and run the sampling phase with it as a
+    # constant metric. The sampling-phase obs pass then computes only
+    # (value, grad) — MALA cost — while the proposal keeps the Laplace
+    # map's curvature (measured near-Newton ESS/draw). Valid MH: during
+    # sampling the frozen Hessian is a constant, so the proposal is a
+    # deterministic function of the conditioning state (the warmup phase
+    # refreshes it every accepted step exactly as before, alongside the
+    # usual frozen-after-warmup RM scale adaptation).
     fused_sweep: bool = False  # DEPRECATED no-op, kept so configs
     # serialized by older checkpoints/artifacts still deserialize. The
     # whole-sweep fused path was measured within ~4% of (and never above)

@@ -84,7 +84,23 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
     pass it through the jit boundary with its mesh sharding attached.
     """
 
+    import inspect
+
+    # joint moves that understand the frozen-Hessian sampling phase take a
+    # `frozen` kwarg (models define it with a False default, so direct
+    # test callers are unaffected); detected once at build time.
+    _move_takes_frozen = {
+        mname: "frozen" in inspect.signature(move).parameters
+        for mname, move in model.joint_moves.items()
+    }
+
     def sweep(state: KernelState, data, adapt: bool) -> KernelState:
+        # Frozen-metric Newton (KernelConfig.newton_freeze): the sampling
+        # program (adapt=False) treats the carried likelihood Hessian as a
+        # CONSTANT metric — obs passes compute only (value, grad), the
+        # Laplace proposal keeps its curvature. A Python bool: the warmup
+        # and sampling programs are separate traces already.
+        frozen = (not adapt) and cfg.kernel.newton_freeze
         key, key_sweep = jax.random.split(state.key)
         position = dict(state.position)
         log_scale = dict(state.log_scale)
@@ -122,14 +138,18 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
             alphas = []
             for r in range(max(1, block.repeats)):
                 kr = jax.random.fold_in(kb, r)
+                kw = (
+                    {"frozen": frozen} if algorithm == "newton" else {}
+                )
                 if use_fused:
                     new_value, new_cache, alpha = fused_table[name](
-                        kr, position, cache, log_scale[name], data
+                        kr, position, cache, log_scale[name], data, **kw
                     )
                 else:
                     new_value, alpha, new_cache = update(
                         kr, block, model, position,
                         log_scale[name], pstd, data, cache=cache.get(name),
+                        **kw,
                     )
                 position[name] = new_value
                 cache[name] = new_cache
@@ -162,6 +182,8 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
                 pos_up, cache_up, alpha = move(
                     jax.random.fold_in(km, r), position, cache,
                     jnp.exp(log_scale[mname]), data,
+                    **({"frozen": frozen}
+                       if _move_takes_frozen[mname] else {}),
                 )
                 position.update(pos_up)
                 cache.update(cache_up)

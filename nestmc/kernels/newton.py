@@ -60,13 +60,22 @@ def cond_value_grad_hess(model: ModelSpec, name, value, position, data):
 
 
 def newton_update(key, block: Block, model: ModelSpec, position, log_scale,
-                  pstd, data, cache=None):
+                  pstd, data, cache=None, frozen=False):
     """One Newton-MH update of ``block`` for all chains and units.
 
     ``cache``: optional {'v','g','h'} carried (loglik, grad, packed
     -Hessian) of the SELF-CONTAINED conditional part at the current value
     (cond_cached_newton) — one obs pass per update instead of two.
     ``pstd`` is ignored: H(v) is the preconditioner.
+
+    ``frozen`` (KernelConfig.newton_freeze sampling phase): treat the
+    cached likelihood Hessian as a CONSTANT metric — the proposal-side obs
+    pass keeps only (value, grad); the Hessian terms are never read, so
+    XLA dead-code-eliminates their computation. The frozen Hessian is a
+    constant during the sampling phase, so the proposal stays a
+    deterministic function of the conditioning state and detailed balance
+    is exact for ANY fixed PD value (Geweke frozen tier). Requires a live
+    cache (the engine always carries one for Newton blocks).
 
     Shapes: grouped blocks with a 1-D per-unit vector (value (C, U, p),
     grad value-shaped, packed Hessian (C, U, T)); grouped blocks with
@@ -107,7 +116,13 @@ def newton_update(key, block: Block, model: ModelSpec, position, log_scale,
     eps = jax.random.normal(k_eps, mean_old.shape, value.dtype)
     prop = sq(mean_old + sc * solve_upper_t(L_old, eps, p))
 
-    sv_new, sg_new, sh_new = self_vgh(prop, data)
+    if frozen:
+        if cache is None:
+            raise ValueError("frozen Newton-MH requires a carried cache")
+        sv_new, sg_new, _ = self_vgh(prop, data)
+        sh_new = sh  # constant metric; hessian math above is DCE'd
+    else:
+        sv_new, sg_new, sh_new = self_vgh(prop, data)
     sv_new = as_cu(sv_new, block)
     rv_new, rg_new, rh_new = rest_vgh(prop, position, data)
     d_new = sv_new + as_cu(rv_new, block)
@@ -142,6 +157,9 @@ def newton_update(key, block: Block, model: ModelSpec, position, log_scale,
         new_cache = {
             "v": jnp.where(accept, sv_new, cache["v"]),
             "g": select_accepted(accept, sg_new, cache["g"], block),
-            "h": select_accepted(accept, sh_new, cache["h"], block),
+            # frozen: the metric is a constant — pass it through untouched
+            # (no select, no HBM write)
+            "h": cache["h"] if frozen
+            else select_accepted(accept, sh_new, cache["h"], block),
         }
     return new_value, accept_prob(log_alpha), new_cache

@@ -380,10 +380,13 @@ def make_hier_logistic(
         )
         return nb, {"v": nv, "g": ng}, alpha
 
-    def fused_newton_beta_update(key, position, cache, log_scale, data):
+    def fused_newton_beta_update(key, position, cache, log_scale, data,
+                                 frozen=False):
         """Single-kernel Newton-MH update of beta
         (ops/pallas/newton_accept.py): Laplace propose + logp+grad+Hess obs
-        pass + full correction + accept + select in one pass."""
+        pass + full correction + accept + select in one pass. frozen: the
+        carried Hessian is a constant metric (sampling phase of
+        KernelConfig.newton_freeze) — the obs pass drops to MALA cost."""
         from nestmc.ops.pallas.newton_accept import (
             fused_newton_logistic_step,
         )
@@ -396,11 +399,11 @@ def make_hier_logistic(
         nb, nv, ng, nh, alpha = fused_newton_logistic_step(
             key, position["beta"], v, g, h, log_scale,
             position["mu"], position["log_tau"],
-            data.x, data.y, data.mask, dense=_dense_data,
+            data.x, data.y, data.mask, dense=_dense_data, frozen=frozen,
         )
         return nb, {"v": nv, "g": ng, "h": nh}, alpha
 
-    def asis_tau_move(key, position, cache, scale, data):
+    def asis_tau_move(key, position, cache, scale, data, frozen=False):
         """ASIS interweaving move (Yu & Meng 2011): MH on log_tau in the
         NON-CENTERED parameterization with z = (beta - mu)/tau held fixed,
         so beta rescales jointly with tau: beta' = mu + (tau'/tau)(beta-mu).
@@ -531,7 +534,7 @@ def make_hier_logistic(
         beta_new = base_mu[:, None, :] + diff * ratio
         if grad_mode:
             lik_old = lik_cache["v"]
-            if newton_mode:
+            if newton_mode and not frozen:
                 # the carried -Hessian must track beta: the rescale
                 # invalidates it, so the eval pass recomputes it in the
                 # same obs pass (w shares the gradient's sigmoid) — it
@@ -540,7 +543,12 @@ def make_hier_logistic(
                     beta_new, data
                 )
             else:
+                # frozen newton: the carried Hessian is a CONSTANT metric
+                # (KernelConfig.newton_freeze sampling phase) — the eval
+                # pass drops to logp+grad and the metric stays put
                 lik_new, grad_new = lik_value_and_grad(beta_new, data)
+                if newton_mode:
+                    hess_new = lik_cache["h"]
             diff_new = diff * ratio                    # e^{lt'} z
             h_src_new = hess_new if newton_mode else xxt_bound[None]
             f_new = _asis_joint_grad(grad_new, diff_new, mu_new, lt_new)
@@ -595,7 +603,8 @@ def make_hier_logistic(
                 "v": jnp.where(accept[:, None], lik_new, lik_old),
                 "g": jnp.where(acc3, grad_new, lik_cache["g"]),
                 **(
-                    {"h": jnp.where(acc3, hess_new, lik_cache["h"])}
+                    {"h": lik_cache["h"] if frozen
+                     else jnp.where(acc3, hess_new, lik_cache["h"])}
                     if newton_mode else {}
                 ),
             }

@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from nestmc.ops.pallas.loglik_logistic import (
     _eta_vpu,
     _group_tile,
+    _lik_terms,
     _lik_terms_w,
     _pad_groups,
     _pick_tile,
@@ -105,7 +106,13 @@ def _lt_vec_slices(L, v, p):
 
 
 def _make_fused_newton_kernel(p: int, external_noise: bool,
-                              dense: bool = False):
+                              dense: bool = False, frozen: bool = False):
+  """frozen: the carried likelihood Hessian is a CONSTANT metric
+  (KernelConfig.newton_freeze sampling phase) — the obs pass computes only
+  (loglik, grad), the reverse-side metric equals the forward one (same
+  h_ref + same itau2), so the second Cholesky and the log-determinant
+  ratio vanish and there is no Hessian output. Obs-pass cost = the fused
+  MALA kernel's."""
   T = p * (p + 1) // 2
   diag_t = [packed_index(k, k) for k in range(p)]
 
@@ -121,10 +128,18 @@ def _make_fused_newton_kernel(p: int, external_noise: bool,
     *rest,                        # [eps_ref, logu_ref,] outputs
   ):
     if external_noise:
-        eps_ref, logu_ref, out_beta_ref, out_v_ref, out_g_ref, \
-            out_h_ref, out_alpha_ref = rest
+        if frozen:
+            eps_ref, logu_ref, out_beta_ref, out_v_ref, out_g_ref, \
+                out_alpha_ref = rest
+        else:
+            eps_ref, logu_ref, out_beta_ref, out_v_ref, out_g_ref, \
+                out_h_ref, out_alpha_ref = rest
     else:
-        out_beta_ref, out_v_ref, out_g_ref, out_h_ref, out_alpha_ref = rest
+        if frozen:
+            out_beta_ref, out_v_ref, out_g_ref, out_alpha_ref = rest
+        else:
+            out_beta_ref, out_v_ref, out_g_ref, out_h_ref, \
+                out_alpha_ref = rest
         pltpu.prng_seed(
             seed_ref[0, 0]
             + pl.program_id(0) * jnp.int32(1000003)
@@ -152,30 +167,38 @@ def _make_fused_newton_kernel(p: int, external_noise: bool,
     shaped = _solve_upper_t_slices(L_old, eps, p)
     prop = [mean_old[k] + sc * shaped[k] for k in range(p)]
 
-    # one obs pass: loglik + grad + packed Hessian of the proposal
+    # one obs pass: loglik + grad (+ packed Hessian unless frozen) of the
+    # proposal
     x = x_ref[:]
     prop_arr = jnp.stack(prop, axis=1)                    # (TG, p, TC)
     eta = _eta_vpu(x, prop_arr, p)                        # (TG, n, TC)
     y = y_ref[:][:, :, None]
     m = None if dense else mask_ref[:][:, :, None]
-    ll, resid, w = _lik_terms_w(eta, y, m)
+    if frozen:
+        ll, resid = _lik_terms(eta, y, m)
+    else:
+        ll, resid, w = _lik_terms_w(eta, y, m)
     lik_prop = jnp.sum(ll, axis=1)                        # (TG, TC)
     gll = [
         jnp.sum(x[:, :, k][:, :, None] * resid, axis=1)
         for k in range(p)
     ]
-    hll = []
-    for i in range(p):
-        for j in range(i + 1):
-            xx = (x[:, :, i] * x[:, :, j])[:, :, None]
-            hll.append(jnp.sum(xx * w, axis=1))
 
     dp = [prop[k] - mu[k] for k in range(p)]
     g_new = [gll[k] - dp[k] * itau2[k] for k in range(p)]
-    h_new = list(hll)
-    for k in range(p):
-        h_new[diag_t[k]] = h_new[diag_t[k]] + itau2[k]
-    L_new = _chol_slices(h_new, p)
+    if frozen:
+        # constant metric: L_new == L_old, log-determinant ratio = 1
+        L_new = L_old
+    else:
+        hll = []
+        for i in range(p):
+            for j in range(i + 1):
+                xx = (x[:, :, i] * x[:, :, j])[:, :, None]
+                hll.append(jnp.sum(xx * w, axis=1))
+        h_new = list(hll)
+        for k in range(p):
+            h_new[diag_t[k]] = h_new[diag_t[k]] + itau2[k]
+        L_new = _chol_slices(h_new, p)
     step_new = _spd_solve_slices(L_new, g_new, p)
     mean_new = [prop[k] + step_new[k] for k in range(p)]
 
@@ -187,17 +210,19 @@ def _make_fused_newton_kernel(p: int, external_noise: bool,
     # asymmetric correction. Forward whitened residual is EXACTLY
     # sqrt(c) * eps by construction, so its c-normalized quadratic is
     # sum eps^2; the log-determinant ratio needs ONE log (ratio of the
-    # Cholesky diagonal products).
+    # Cholesky diagonal products) — and vanishes when frozen.
     w_rev = _lt_vec_slices(
         L_new, [beta[k] - mean_new[k] for k in range(p)], p
     )
     q_quad = 0.5 * (
         sum(e * e for e in eps) - inv_c * sum(r * r for r in w_rev)
     )
-    det_ratio = L_new[diag_t[0]] / L_old[diag_t[0]]
-    for k in range(1, p):
-        det_ratio = det_ratio * (L_new[diag_t[k]] / L_old[diag_t[k]])
-    log_alpha = d_delta + q_quad + jnp.log(det_ratio)     # (TG, TC)
+    log_alpha = d_delta + q_quad                          # (TG, TC)
+    if not frozen:
+        det_ratio = L_new[diag_t[0]] / L_old[diag_t[0]]
+        for k in range(1, p):
+            det_ratio = det_ratio * (L_new[diag_t[k]] / L_old[diag_t[k]])
+        log_alpha = log_alpha + jnp.log(det_ratio)
 
     logu = logu_ref[:] if external_noise else jnp.log(
         _uniform_01(log_alpha.shape, mix)
@@ -207,8 +232,9 @@ def _make_fused_newton_kernel(p: int, external_noise: bool,
     for k in range(p):
         out_beta_ref[:, k, :] = jnp.where(accept, prop[k], beta[k])
         out_g_ref[:, k, :] = jnp.where(accept, gll[k], g_ref[:, k, :])
-    for t in range(T):
-        out_h_ref[:, t, :] = jnp.where(accept, hll[t], h_ref[:, t, :])
+    if not frozen:
+        for t in range(T):
+            out_h_ref[:, t, :] = jnp.where(accept, hll[t], h_ref[:, t, :])
     alpha = jnp.exp(jnp.minimum(log_alpha, 0.0))
     out_alpha_ref[:] = jnp.where(jnp.isnan(log_alpha), 0.0, alpha)
 
@@ -218,7 +244,7 @@ def _make_fused_newton_kernel(p: int, external_noise: bool,
 def fused_newton_logistic_step(
     key, beta, v_cache, g_cache, h_cache, log_scale, mu, log_tau, x, y,
     mask, interpret: bool | None = None, noise=None, dense: bool = False,
-    tg: int | None = None,
+    tg: int | None = None, frozen: bool = False,
 ):
     """One Newton-MH update of the whole group block in a single kernel.
 
@@ -227,6 +253,9 @@ def fused_newton_logistic_step(
     (C,G), grad (C,G,p) and packed -Hessian (C,G,T) at beta; log_scale
     (C,G) or (C,1) log sqrt(c) damping (0 = the Laplace proposal).
     noise: None (on-core PRNG; TPU only) or (eps (C,G,p), logu (C,G)).
+    frozen: h_cache is a CONSTANT metric (sampling phase of
+    KernelConfig.newton_freeze) — the obs pass computes only (v, g) and
+    new_h is returned as h_cache itself (no select, no HBM write).
     Returns (new_beta, new_v, new_g, new_h, alpha (C,G)).
     """
     if interpret is None:
@@ -242,6 +271,8 @@ def fused_newton_logistic_step(
     # at the judged shape: TG=16 compiles and runs (862 us), TG=24 hits
     # the 16 MB scoped-vmem limit, and TG=8 vs 16 is flat (the kernel is
     # compute-bound in the Hessian reduction passes, not grid-bound).
+    # Frozen mode drops the h output and the hll temps but keeps the same
+    # conservative tile (the obs pass dominates either way).
     TG = tg or _group_tile(
         n, p, TC, G, n_inter=3,
         extra_out=(3 * _r8(p) + 2 * _r8(T) + 4) * _r128(TC) * 4,
@@ -285,38 +316,49 @@ def fused_newton_logistic_step(
         in_specs.append(pl.BlockSpec((TG, TC), lambda g, c: (g, c)))
 
     grid = (Gp // TG, C // TC)
-    new_bt, new_v, new_gt, new_ht, alpha = pl.pallas_call(
-        _make_fused_newton_kernel(p, external_noise, dense),
+    out_specs = [
+        pl.BlockSpec((TG, p, TC), lambda g, c: (g, 0, c)),
+        pl.BlockSpec((TG, TC), lambda g, c: (g, c)),
+        pl.BlockSpec((TG, p, TC), lambda g, c: (g, 0, c)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Gp, p, C), jnp.float32),
+        jax.ShapeDtypeStruct((Gp, C), jnp.float32),
+        jax.ShapeDtypeStruct((Gp, p, C), jnp.float32),
+    ]
+    if not frozen:
+        out_specs.append(pl.BlockSpec((TG, T, TC), lambda g, c: (g, 0, c)))
+        out_shape.append(jax.ShapeDtypeStruct((Gp, T, C), jnp.float32))
+    out_specs.append(pl.BlockSpec((TG, TC), lambda g, c: (g, c)))
+    out_shape.append(jax.ShapeDtypeStruct((Gp, C), jnp.float32))
+    hess_passes = 0 if frozen else 3 * T // 2
+    outs = pl.pallas_call(
+        _make_fused_newton_kernel(p, external_noise, dense, frozen),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((TG, p, TC), lambda g, c: (g, 0, c)),
-            pl.BlockSpec((TG, TC), lambda g, c: (g, c)),
-            pl.BlockSpec((TG, p, TC), lambda g, c: (g, 0, c)),
-            pl.BlockSpec((TG, T, TC), lambda g, c: (g, 0, c)),
-            pl.BlockSpec((TG, TC), lambda g, c: (g, c)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Gp, p, C), jnp.float32),
-            jax.ShapeDtypeStruct((Gp, C), jnp.float32),
-            jax.ShapeDtypeStruct((Gp, p, C), jnp.float32),
-            jax.ShapeDtypeStruct((Gp, T, C), jnp.float32),
-            jax.ShapeDtypeStruct((Gp, C), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=(4 + 3 * (T + p) // 2) * C * Gp * n * p
+            flops=(4 + hess_passes + 3 * p // 2) * C * Gp * n * p
             + 40 * C * Gp * (p * p) + 10 * C * Gp * n,
             bytes_accessed=4 * (Gp * n * p + 2 * Gp * n
-                                + C * Gp * (4 * p + 4 * T + 6)),
+                                + C * Gp * (4 * p + (2 if frozen else 4) * T
+                                            + 6)),
             transcendentals=C * Gp * (2 * n + 3 * p + 6),
         ),
     )(seed, x_p, y_p, mask_p, bt_p, v_p, gt_p, ht_p, ls_p, mu_t, itau2_t,
       *pads[8:])
+    if frozen:
+        new_bt, new_v, new_gt, alpha = outs
+        new_h = h_cache                       # constant metric, untouched
+    else:
+        new_bt, new_v, new_gt, new_ht, alpha = outs
+        new_h = jnp.transpose(new_ht[:G], (2, 0, 1))
     return (
         jnp.transpose(new_bt[:G], (2, 0, 1)),
         new_v[:G].T,
         jnp.transpose(new_gt[:G], (2, 0, 1)),
-        jnp.transpose(new_ht[:G], (2, 0, 1)),
+        new_h,
         alpha[:G].T,
     )

@@ -147,7 +147,7 @@ def _test_functions(state, y):
 
 
 def _broken_newton_update(key, block, model, position, log_scale, pstd,
-                          data, cache=None):
+                          data, cache=None, frozen=False):
     """newton_update with the asymmetric-proposal correction DROPPED
     (accepts on the bare density ratio) — the power-check transition."""
     import jax.numpy as jnp
@@ -182,13 +182,35 @@ def _broken_newton_update(key, block, model, position, log_scale, pstd,
     return new_value, accept_prob(log_alpha), cache
 
 
-def _successive_conditional(model, key, update_fn=None):
+def _successive_conditional(model, key, update_fn=None, frozen=False,
+                            frozen_refresh_bug=False):
     """update_fn: optional replacement for the 'newton' transition (the
     power check). The patch must stay active until the scan below has
     TRACED the sweep (gibbs.py reads _UPDATES at trace time), so the whole
-    body runs under it; _zscores restores the original afterwards."""
+    body runs under it; _zscores restores the original afterwards.
+
+    frozen: run the FROZEN-metric sampling kernel
+    (KernelConfig.newton_freeze) with the likelihood Hessian held at its
+    value from the initial prior draw — a genuine constant, as in
+    production where it freezes at warmup end. Only (v, g) are refreshed
+    when the Geweke data resamples (this model's lik Hessian n*sig(1-sig)
+    is y-free, so holding it constant is structurally consistent).
+
+    frozen_refresh_bug: the INVALID pattern the frozen tier must be able
+    to detect — refresh the Hessian from the CURRENT position every
+    iteration while the kernel still treats the metric as constant
+    (forward and reverse sides share one metric, no log-det ratio). The
+    metric then depends on the current state and detailed balance breaks.
+
+    Note the refresh tiers pin newton_freeze=False: the harness rebuilds
+    the full (v, g, h) cache from the resampled data each iteration, which
+    under a frozen kernel would BE the refresh bug above.
+    """
     cfg = SamplerConfig(
-        kernel=KernelConfig(scale_per_unit=True),
+        kernel=KernelConfig(
+            scale_per_unit=True,
+            newton_freeze=frozen or frozen_refresh_bug,
+        ),
         run=RunConfig(chains=C, log_every_segment=False),
     )
     sweep = make_sweep(model, cfg)
@@ -201,11 +223,15 @@ def _successive_conditional(model, key, update_fn=None):
         kstate, position=model.prior_sample(k0, None, C)
     )
     self_vgh, _ = model.cond_cached_newton["theta"]
+    keep_h = frozen and not frozen_refresh_bug
 
     def refresh_cache(kstate, y):
         # data changes every Geweke iteration, so the carried obs-pass
-        # cache must be rebuilt (in production data is static per run)
+        # cache must be rebuilt (in production data is static per run);
+        # the frozen tier keeps the CONSTANT initial Hessian instead
         v, g, h = self_vgh(kstate.position["theta"], {"y": y})
+        if keep_h:
+            h = kstate.cache["theta"]["h"]
         return dataclasses.replace(
             kstate, cache={**kstate.cache, "theta": {"v": v, "g": g, "h": h}}
         )
@@ -223,7 +249,8 @@ def _successive_conditional(model, key, update_fn=None):
     return {k: jnp.mean(v[BURN:], axis=0) for k, v in stats.items()}
 
 
-def _zscores(model, seed=0, update_fn=None):
+def _zscores(model, seed=0, update_fn=None, frozen=False,
+             frozen_refresh_bug=False):
     ks, ky = jax.random.split(jax.random.key(seed))
     state = model.prior_sample(ks, None, 200_000)
     y = sample_y(ky, state["theta"], N)
@@ -235,7 +262,8 @@ def _zscores(model, seed=0, update_fn=None):
         gibbs_mod._UPDATES = {**gibbs_mod._UPDATES, "newton": update_fn}
     try:
         sc_stats = _successive_conditional(
-            model, jax.random.key(seed + 1), update_fn=update_fn
+            model, jax.random.key(seed + 1), update_fn=update_fn,
+            frozen=frozen, frozen_refresh_bug=frozen_refresh_bug,
         )
     finally:
         gibbs_mod._UPDATES = {**gibbs_mod._UPDATES, "newton": old}
@@ -264,4 +292,29 @@ def test_geweke_newton_dropped_q_detected():
     worst = max(abs(z) for z in zs.values())
     assert worst > 6.0, (
         f"Geweke failed to detect a missing Newton q-correction: {zs}"
+    )
+
+
+@pytest.mark.slow
+def test_geweke_newton_frozen_passes():
+    """The frozen-metric sampling kernel (constant likelihood Hessian,
+    KernelConfig.newton_freeze) leaves the joint invariant."""
+    model = make_logistic_calibration_model(G, N)
+    zs = _zscores(model, seed=32, frozen=True)
+    worst = max(abs(z) for z in zs.values())
+    assert worst < 5.0, f"Geweke z-scores (frozen newton) {zs}"
+
+
+@pytest.mark.slow
+def test_geweke_newton_frozen_refresh_bug_detected():
+    """POWER check for the frozen tier: refreshing the Hessian from the
+    current position each iteration while the kernel treats the metric as
+    constant (one metric both sides, no log-det ratio) breaks detailed
+    balance — the exact bug class newton_freeze could hide — and must be
+    detected."""
+    model = make_logistic_calibration_model(G, N)
+    zs = _zscores(model, seed=33, frozen_refresh_bug=True)
+    worst = max(abs(z) for z in zs.values())
+    assert worst > 6.0, (
+        f"Geweke failed to detect the stale-metric frozen-Newton bug: {zs}"
     )

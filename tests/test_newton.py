@@ -215,10 +215,96 @@ def test_one_step_matches_dense_linalg():
             )
 
 
-def test_gaussian_conditional_is_exact_gibbs():
+def test_one_step_frozen_matches_dense_linalg():
+    """Frozen-metric one step (KernelConfig.newton_freeze sampling phase)
+    against an independent dense reimplementation: the metric is the
+    CACHED likelihood Hessian + the (position-free) prior precision on
+    BOTH sides — same proposal map forward, reverse mean built from the
+    true gradient at the proposal but the frozen metric, and no
+    log-determinant ratio."""
+    data, _ = synth_logistic(jax.random.key(2), G=3, n=8, p=3)
+    model = make_hier_logistic(data, tau_prior="invgamma")
+    cfg = SamplerConfig(
+        kernel=KernelConfig(algorithm="newton"),
+        run=RunConfig(chains=4, log_every_segment=False),
+    )
+    state = init_kernel_state(model, cfg, jax.random.key(1), data)
+    block = model.block("beta")
+    log_scale = jnp.full_like(state.log_scale["beta"], math.log(0.7))
+    key = jax.random.key(9)
+    new_value, alpha, new_cache = newton_update(
+        key, block, model, state.position, log_scale, None, data,
+        cache=state.cache["beta"], frozen=True,
+    )
+    assert new_cache["h"] is state.cache["beta"]["h"]
+
+    C, G, p = state.position["beta"].shape
+    beta = np.asarray(state.position["beta"], dtype=np.float64)
+    pos = state.position
+    h_lik = np.asarray(state.cache["beta"]["h"], np.float64)  # (C, G, T)
+    inv_tau2 = np.asarray(
+        jnp.exp(-2.0 * pos["log_tau"]), np.float64
+    )                                                          # (C, p)
+
+    def cond_one(bvec, c, g):
+        full = pos["beta"].at[c, g].set(bvec)
+        return model.cond_logdensity("beta", full, pos, data)[c, g]
+
+    def unpack(hrow, c):
+        H = np.zeros((p, p))
+        t = 0
+        for i in range(p):
+            for j in range(i + 1):
+                H[i, j] = H[j, i] = hrow[t]
+                t += 1
+        return H + np.diag(inv_tau2[c])
+
+    k_eps, k_u = jax.random.split(key)
+    eps = np.asarray(
+        jax.random.normal(k_eps, (C, G, p), jnp.float32), np.float64
+    )
+    logu = np.asarray(jnp.log(jax.random.uniform(
+        k_u, (C, G), jnp.float32, minval=jnp.finfo(jnp.float32).tiny
+    )), np.float64)
+    sqc = 0.7
+
+    alpha_np = np.asarray(alpha)
+    newv_np = np.asarray(new_value)
+    for c in range(C):
+        for g in range(G):
+            H = unpack(h_lik[c, g], c)          # frozen metric, both sides
+            b0 = jnp.asarray(beta[c, g], jnp.float32)
+            d0 = float(cond_one(b0, c, g))
+            g0 = np.asarray(jax.grad(cond_one)(b0, c, g), np.float64)
+            m0 = beta[c, g] + np.linalg.solve(H, g0)
+            L = np.linalg.cholesky(H)
+            prop = m0 + sqc * np.linalg.solve(L.T, eps[c, g])
+            bp = jnp.asarray(prop, jnp.float32)
+            d1 = float(cond_one(bp, c, g))
+            g1 = np.asarray(jax.grad(cond_one)(bp, c, g), np.float64)
+            m1 = prop + np.linalg.solve(H, g1)
+            r_rev = beta[c, g] - m1
+            r_fwd = prop - m0
+            la = d1 - d0 + (
+                -0.5 * r_rev @ H @ r_rev / sqc**2
+                + 0.5 * r_fwd @ H @ r_fwd / sqc**2
+            )
+            a_ext = min(1.0, np.exp(la))
+            assert abs(a_ext - alpha_np[c, g]) < 5e-3, (c, g, la)
+            expect = prop if logu[c, g] < la else beta[c, g]
+            np.testing.assert_allclose(
+                newv_np[c, g], expect, atol=5e-4, err_msg=str((c, g))
+            )
+
+
+@pytest.mark.parametrize("frozen", [False, True])
+def test_gaussian_conditional_is_exact_gibbs(frozen):
     """On an exactly Gaussian conditional the Newton proposal at c = 1 IS
     the conditional: acceptance must be 1 and one step must produce exact
-    conditional draws (mean/cov checked over many chains)."""
+    conditional draws (mean/cov checked over many chains). The frozen
+    variant is identical here — a Gaussian's Hessian is constant, so
+    freezing it loses nothing (the design intuition behind
+    KernelConfig.newton_freeze)."""
     C, G, p = 4096, 2, 3
     rng = np.random.default_rng(0)
     A = rng.normal(size=(G, p, p))
@@ -253,8 +339,13 @@ def test_gaussian_conditional_is_exact_gibbs():
     value = 3.0 + jax.random.normal(jax.random.key(3), (C, G, p))
     position = {"theta": value}
     log_scale = jnp.zeros((C, G), jnp.float32)
+    cache = None
+    if frozen:
+        v0, g0, h0 = self_vgh(value, None)
+        cache = {"v": v0, "g": g0, "h": h0}
     new_value, alpha, _ = newton_update(
         jax.random.key(5), block, model, position, log_scale, None, None,
+        cache=cache, frozen=frozen,
     )
     assert float(jnp.min(alpha)) > 1.0 - 1e-3
     draws = np.asarray(new_value)             # (C, G, p) one-step draws

@@ -91,6 +91,55 @@ def test_external_noise_exact_parity(dense):
     )
 
 
+@pytest.mark.parametrize("dense", [False, True])
+def test_external_noise_exact_parity_frozen(dense):
+    """Frozen-metric mode (KernelConfig.newton_freeze sampling phase):
+    fused and unfused kernels agree exactly with external noise, and the
+    carried Hessian passes through untouched."""
+    from nestmc.ops.pallas.newton_accept import fused_newton_logistic_step
+
+    data, model, state = _setup(dense=dense)
+    beta = state.position["beta"]
+    C, G, p = beta.shape
+    key = jax.random.key(43)
+    log_scale = state.log_scale["beta"]
+
+    k_eps, k_u = jax.random.split(key)
+    eps = jax.random.normal(k_eps, (C, G, p), jnp.float32)
+    logu = jnp.log(jax.random.uniform(
+        k_u, (C, G), jnp.float32, minval=jnp.finfo(jnp.float32).tiny
+    ))
+
+    block = model.block("beta")
+    ref_beta, ref_alpha, ref_cache = newton_update(
+        key, block, model, state.position, log_scale, None, data,
+        cache=state.cache["beta"], frozen=True,
+    )
+
+    c = state.cache["beta"]
+    new_beta, new_v, new_g, new_h, alpha = fused_newton_logistic_step(
+        key, beta, c["v"], c["g"], c["h"], log_scale,
+        state.position["mu"], state.position["log_tau"],
+        data.x, data.y, data.mask,
+        interpret=True, noise=(eps, logu), dense=dense, frozen=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(alpha), np.asarray(ref_alpha), rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_beta), np.asarray(ref_beta), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_v), np.asarray(ref_cache["v"]), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_g), np.asarray(ref_cache["g"]), atol=2e-4
+    )
+    # the frozen metric is passed through IDENTICALLY (no select, no write)
+    assert new_h is c["h"]
+    assert ref_cache["h"] is c["h"]
+
+
 @pytest.mark.skipif(
     not (ON_TPU and TPU_TESTS),
     reason="on-core PRNG path needs a real TPU (NESTMC_TPU_TESTS=1)",
