@@ -55,11 +55,17 @@ def main() -> int:
     )
     warmup = int(os.environ.get("NESTMC_BENCH_WARMUP", 1500))
     draws = int(os.environ.get("NESTMC_BENCH_DRAWS", 4096))
-    # MALA with the fused Pallas logp+grad kernel and the carried grad
-    # cache: measured 6.3x the ESS/s of adapted RW-MH on this model
-    # (larger moves at the 0.574 target; one fused likelihood+gradient
-    # evaluation per sweep).
-    algorithm = os.environ.get("NESTMC_BENCH_ALGORITHM", "mala")
+    # FROZEN-METRIC NEWTON (round 3): Laplace-proposal group updates with
+    # the likelihood Hessian refreshed during warmup and frozen for the
+    # sampling phase (KernelConfig.newton_freeze) — the sampling obs pass
+    # costs the same as MALA's while beta mixes near-IID (acceptance
+    # ~0.86) and the joint (mu, tau) interweave runs parameter-free off
+    # the same metric. Measured A/B at C=256 (benchmarks/judged_ab.py,
+    # 2026-08-18): mala 5.34M sum / 54.0k min ESS/s/chip -> newton-frozen
+    # 9.84M / 100.6k at sample sweep rates within 6% (1530 vs 1632/s);
+    # the round-2 refresh-Newton was 2x slower per sweep and lost on both
+    # conventions. MALA (the former default) remains one env var away.
+    algorithm = os.environ.get("NESTMC_BENCH_ALGORITHM", "newton")
     # Round-2 A/B on this config at C=256 (benchmarks/judged_ab.py):
     # conjugate invgamma tau beats halfnormal+MH by 33% min-ESS/s (the tau
     # block was the ESS floor) at equal sweep cost; the fused single-kernel

@@ -214,6 +214,35 @@ def make_nested_poisson(
         )
         return val, -diff * inv_tau2
 
+    def lik_value_grad_hess(value, data_):
+        """(loglik (C,S), grad (C,S,p), packed -Hessian (C,S,T)) of the
+        obs likelihood — the Newton-MH obs pass (kernels/newton.py). The
+        Poisson curvature w = exp(eta) is the rate the gradient already
+        computed: zero extra transcendentals."""
+        if chosen == "pallas":
+            from nestmc.ops.pallas.loglik_poisson import (
+                poisson_logp_grad_hess_pallas,
+            )
+
+            return poisson_logp_grad_hess_pallas(
+                value, data_.x, data_.y, data_.mask, gammaln(data_.y + 1.0)
+            )
+        from nestmc.ops.loglik import poisson_logp_grad_hess_padded
+
+        return poisson_logp_grad_hess_padded(
+            value, data_.x, data_.y, data_.mask, gammaln(data_.y + 1.0)
+        )
+
+    def sprior_vgh(value, state, data_):
+        """Subject-prior part of the Newton split: the Gaussian prior's
+        negative Hessian is the constant precision diagonal
+        diag(1/tau_s^2), packed (C, 1, T) to broadcast over subjects."""
+        from nestmc.ops.smallchol import pack_diag
+
+        val, grad = sprior_value_and_grad(value, state, data_)
+        inv_ts2 = jnp.exp(-2.0 * state["log_tau_s"])     # (C, p)
+        return val, grad, pack_diag(inv_ts2, p)[:, None, :]
+
     def gibbs_mu(key, state, data):
         """Exact conjugate draw of mu | beta_g, tau_g (per coordinate)."""
         s1, _ = _suff_g(state)
@@ -344,7 +373,7 @@ def make_nested_poisson(
         )
         return pos_up, {}, alpha
 
-    def asis_tau_s_move(key, position, cache, scale, data_):
+    def asis_tau_s_move(key, position, cache, scale, data_, frozen=False):
         """ASIS interweaving for (tau_s, beta_s): rescale beta_s about its
         group mean with z_s fixed. Changes beta_s, so one likelihood
         evaluation (refreshing the carried cache).
@@ -354,7 +383,18 @@ def make_nested_poisson(
         gradient: F'(lt)_k = sum_s dlik/dbeta_sk (beta_s - beta_g(s))_sk
         + d log p(tau_s)/d lt_k — zero extra obs passes (the proposal-side
         gradient refreshes the cache anyway). One-step-validated against
-        autodiff (tests/test_asis_grad3.py)."""
+        autodiff (tests/test_asis_grad3.py).
+
+        With the NEWTON cache live ({'v','g','h'}) the move upgrades to a
+        parameter-free LAPLACE proposal (no adapted scale; gibbs.py
+        resolves the 'auto' target to None): the p-dim Gauss-Newton metric
+        of the z-fixed target reads the carried packed likelihood Hessian
+        M_kl = sum_s h_s,kl d_sk d_sl + delta_kl (-pr''), d = beta_s -
+        beta_g(s) — PSD by construction plus the PD prior diagonal (the
+        same construction as hier_logistic's joint metric-ASIS move).
+        frozen (KernelConfig.newton_freeze sampling phase): the carried
+        Hessian is a constant — the eval pass drops to logp+grad and the
+        metric passes through untouched."""
         k1, k2 = jax.random.split(key)
         bs, lt = position["beta_s"], position["log_tau_s"]
         C = lt.shape[0]
@@ -363,7 +403,38 @@ def make_nested_poisson(
         eps = jax.random.normal(k1, lt.shape, lt.dtype)
         lik_cache = cache.get("beta_s")
         grad_mode = isinstance(lik_cache, dict)
-        if grad_mode:
+        newton_mode = grad_mode and "h" in lik_cache
+        if newton_mode:
+            from nestmc.ops.smallchol import (
+                chol_packed, half_logdet, lt_vec, packed_index,
+                solve_upper_t, spd_solve,
+            )
+
+            def _metric(h_packed, d, lt_at):
+                """Packed (C, T) Gauss-Newton metric of the z-fixed
+                target: M_kl = sum_s h_s,kl d_sk d_sl + delta_kl (-pr'')."""
+                pm = _tau_logprior_metric(lt_at)       # (C, p)
+                cols = []
+                for i in range(p):
+                    for j in range(i + 1):
+                        m = jnp.sum(
+                            h_packed[..., packed_index(i, j)]
+                            * d[..., i] * d[..., j], axis=1,
+                        )
+                        if i == j:
+                            m = m + pm[..., i]
+                        cols.append(m)
+                return jnp.stack(cols, axis=-1)
+
+            f_old = (
+                jnp.sum(lik_cache["g"] * diff, axis=1)
+                + _tau_logprior_grad(lt)
+            )                                          # (C, p)
+            m_old = _metric(lik_cache["h"], diff, lt)
+            L_old = chol_packed(m_old, p)
+            mean_old = lt + spd_solve(L_old, f_old, p)
+            lt_new = mean_old + solve_upper_t(L_old, eps, p)
+        elif grad_mode:
             s2 = scale * scale                         # (C, 1)
             g_old = (
                 jnp.sum(lik_cache["g"] * diff, axis=1)
@@ -376,16 +447,41 @@ def make_nested_poisson(
         bs_new = bg_s + diff * ratio
         if grad_mode:
             lik_old = lik_cache["v"]
-            lik_new, grad_new = lik_value_and_grad(bs_new, data_)
-            g_new = (
-                jnp.sum(grad_new * diff * ratio, axis=1)
-                + _tau_logprior_grad(lt_new)
-            )
-            fwd = lt_new - lt - 0.5 * s2 * g_old       # = scale * eps
-            rev = lt - lt_new - 0.5 * s2 * g_new
-            q_corr = jnp.sum(fwd * fwd - rev * rev, axis=-1) / (
-                2.0 * s2[:, 0]
-            )
+            if newton_mode and not frozen:
+                lik_new, grad_new, hess_new = lik_value_grad_hess(
+                    bs_new, data_
+                )
+            else:
+                lik_new, grad_new = lik_value_and_grad(bs_new, data_)
+                if newton_mode:
+                    hess_new = lik_cache["h"]          # constant metric
+            if newton_mode:
+                diff_new = diff * ratio
+                f_new = (
+                    jnp.sum(grad_new * diff_new, axis=1)
+                    + _tau_logprior_grad(lt_new)
+                )
+                m_new = _metric(hess_new, diff_new, lt_new)
+                L_new = chol_packed(m_new, p)
+                mean_new = lt_new + spd_solve(L_new, f_new, p)
+                w_rev = lt_vec(L_new, lt - mean_new, p)
+                # forward whitened residual is exactly eps by construction
+                q_corr = (
+                    -0.5 * jnp.sum(w_rev * w_rev, axis=-1)
+                    + half_logdet(L_new, p)
+                    + 0.5 * jnp.sum(eps * eps, axis=-1)
+                    - half_logdet(L_old, p)
+                )
+            else:
+                g_new = (
+                    jnp.sum(grad_new * diff * ratio, axis=1)
+                    + _tau_logprior_grad(lt_new)
+                )
+                fwd = lt_new - lt - 0.5 * s2 * g_old   # = scale * eps
+                rev = lt - lt_new - 0.5 * s2 * g_new
+                q_corr = jnp.sum(fwd * fwd - rev * rev, axis=-1) / (
+                    2.0 * s2[:, 0]
+                )
         else:
             lik_new = _lik(bs_new, data_)
             lik_old = lik_cache
@@ -413,6 +509,11 @@ def make_nested_poisson(
             cache_up["beta_s"] = {
                 "v": jnp.where(accept[:, None], lik_new, lik_old),
                 "g": jnp.where(acc3, grad_new, lik_cache["g"]),
+                **(
+                    {"h": lik_cache["h"] if frozen
+                     else jnp.where(acc3, hess_new, lik_cache["h"])}
+                    if newton_mode else {}
+                ),
             }
         elif lik_cache is not None:
             cache_up["beta_s"] = jnp.where(
@@ -508,6 +609,9 @@ def make_nested_poisson(
         },
         cond_cached_grad={
             "beta_s": (lik_value_and_grad, sprior_value_and_grad),
+        },
+        cond_cached_newton={
+            "beta_s": (lik_value_grad_hess, sprior_vgh),
         },
         gibbs_draws={
             "mu": gibbs_mu,

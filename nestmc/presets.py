@@ -206,6 +206,23 @@ def _nested_poisson_1k_mala(seed: int, scale: float):
     )
 
 
+def _nested_poisson_1k_newton(seed: int, scale: float):
+    """Config-3 variant beyond the spec pin: NEWTON-MH on beta_s.
+
+    The obs-level conditional gets the Laplace proposal built from the
+    analytic Poisson curvature w = exp(eta) (zero extra transcendentals),
+    and with KernelConfig.newton_freeze (default) the sampling-phase obs
+    pass costs the same as MALA's. The tau_s interweave upgrades to the
+    parameter-free p-dim Gauss-Newton Laplace move off the carried
+    Hessian. Config 3's min-ESS floor (log_tau_g) is capped by beta_s's
+    own mixing (BASELINE.md round 3) — this is the strongest beta_s
+    kernel in the design space."""
+    model, data, cfg = _nested_poisson_1k(seed, scale)
+    return model, data, dataclasses.replace(
+        cfg, kernel=dataclasses.replace(cfg.kernel, algorithm="newton")
+    )
+
+
 def _hier_logistic_1k_newton(seed: int, scale: float):
     """Documented variant of the judged preset: Newton-MH group blocks
     (kernels/newton.py, fused single-kernel step) + parameter-free joint
@@ -234,6 +251,7 @@ PRESETS = {
     "hier-logistic-1k-newton": _hier_logistic_1k_newton,
     "nested-poisson-1k": _nested_poisson_1k,
     "nested-poisson-1k-mala": _nested_poisson_1k_mala,
+    "nested-poisson-1k-newton": _nested_poisson_1k_newton,
     "ragged-10k": _ragged_10k,
     "mala-100k": _mala_100k,
 }

@@ -169,6 +169,110 @@ def test_langevin_asis_tau_s_matches_autodiff_in_grad_mode(tau_prior):
     )
 
 
+@pytest.mark.parametrize("frozen", [False, True])
+def test_laplace_asis_tau_s_matches_dense_reference_in_newton_mode(frozen):
+    """With the Newton cache live ({'v','g','h'}) asis_tau_s is a
+    parameter-free p-dim Gauss-Newton LAPLACE move. Reference: gradient
+    from autodiff of the z-fixed joint; metric built independently from
+    per-subject jax.hessian of the subject loglik + the known prior
+    curvature; dense numpy cholesky/solves for the proposal map and the
+    full q ratio (incl. log-determinants). frozen=True holds the carried
+    Hessian constant on the reverse side (KernelConfig.newton_freeze)."""
+    data, model, position = _setup("invgamma")
+    S = data.num_subjects
+    p = position["log_tau_s"].shape[-1]
+    self_vgh, _ = model.cond_cached_newton["beta_s"]
+    v, g, h = self_vgh(position["beta_s"], data)
+    cache = {"beta_s": {"v": v, "g": g, "h": h}}
+    key = jax.random.key(24)
+    scale = jnp.full((C, 1), 0.05, jnp.float32)  # ignored (Laplace)
+    pos_up, cache_up, alpha = model.joint_moves["asis_tau_s"](
+        key, position, cache, scale, data, frozen=frozen
+    )
+
+    bs, lt0 = position["beta_s"], position["log_tau_s"]
+    bg_s = jnp.take(position["beta_g"], data.subject_group, axis=1)
+    tau_z = np.asarray(bs - bg_s, np.float64)            # (C, S, p)
+
+    def F(lt):
+        bs_p = bg_s + jnp.asarray(tau_z) * jnp.exp(
+            lt - lt0
+        )[:, None, :]
+        st = {**position, "beta_s": bs_p, "log_tau_s": lt}
+        return model.joint_logdensity(st, data) + S * jnp.sum(lt, axis=-1)
+
+    gF = jax.grad(lambda vv: jnp.sum(F(vv)))
+
+    def subj_hess(bs_at):
+        """per-(chain, subject) dense -Hessian of the subject loglik via
+        autodiff (independent of the model's packed implementation)."""
+        def ll_one(bvec, s):
+            eta = data.x[s] @ bvec
+            from jax.scipy.special import gammaln as _gl
+
+            return jnp.sum(
+                (data.y[s] * eta - jnp.exp(eta) - _gl(data.y[s] + 1.0))
+                * data.mask[s]
+            )
+
+        hs = np.zeros((C, S, p, p))
+        for c in range(C):
+            for s in range(S):
+                hs[c, s] = -np.asarray(
+                    jax.hessian(ll_one)(bs_at[c, s], s), np.float64
+                )
+        return hs
+
+    # prior curvature: make_nested_poisson invgamma defaults a=2, b=0.25
+    def prior_metric(lt):
+        return 4.0 * 0.25 * np.exp(-2.0 * np.asarray(lt, np.float64))
+
+    def metric(h_dense, d, lt):
+        M = np.einsum("cskl,csk,csl->ckl", h_dense, d, d)
+        for k in range(p):
+            M[:, k, k] += prior_metric(lt)[:, k]
+        return M
+
+    k1, k2 = jax.random.split(key)
+    eps = np.asarray(
+        jax.random.normal(k1, lt0.shape, lt0.dtype), np.float64
+    )
+    lt0n = np.asarray(lt0, np.float64)
+    h0 = subj_hess(np.asarray(bs, np.float64))
+    M_old = metric(h0, tau_z, lt0)
+    f_old = np.asarray(gF(lt0), np.float64)
+    lt1 = np.zeros_like(lt0n)
+    for c in range(C):
+        L = np.linalg.cholesky(M_old[c])
+        mean = lt0n[c] + np.linalg.solve(M_old[c], f_old[c])
+        lt1[c] = mean + np.linalg.solve(L.T, eps[c])
+    lt1_j = jnp.asarray(lt1, jnp.float32)
+    ratio = np.exp(lt1 - lt0n)[:, None, :]
+    d_new = tau_z * ratio
+    bs_new = np.asarray(bg_s, np.float64) + d_new
+    h1 = h0 if frozen else subj_hess(bs_new)
+    M_new = metric(h1, d_new, lt1_j)
+    f_new = np.asarray(gF(lt1_j), np.float64)
+    la_ref = np.zeros(C)
+    for c in range(C):
+        mean_new = lt1[c] + np.linalg.solve(M_new[c], f_new[c])
+        rev = lt0n[c] - mean_new
+        _, ld_new = np.linalg.slogdet(M_new[c])
+        _, ld_old = np.linalg.slogdet(M_old[c])
+        q_corr = (
+            -0.5 * rev @ M_new[c] @ rev + 0.5 * ld_new
+            + 0.5 * eps[c] @ eps[c] - 0.5 * ld_old
+        )
+        la_ref[c] = float(F(lt1_j)[c] - F(lt0)[c]) + q_corr
+    alpha_ref = np.exp(np.minimum(la_ref, 0.0))
+    np.testing.assert_allclose(
+        np.asarray(alpha), alpha_ref, rtol=0, atol=2e-3
+    )
+    # frozen: the carried Hessian passes through by reference
+    if frozen:
+        assert cache_up["beta_s"]["h"] is h
+
+
 def test_rw_asis_tau_s_without_grad_cache():
     """Without a grad cache asis_tau_s stays a plain random walk."""
     data, model, position = _setup("halfnormal")

@@ -138,6 +138,28 @@ def test_pallas_vgh_parity_interpret():
     np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-5)
 
 
+def test_pallas_poisson_vgh_parity_interpret():
+    from nestmc.ops.pallas.loglik_poisson import (
+        poisson_logp_grad_hess_pallas,
+    )
+    from nestmc.ops.loglik import poisson_logp_grad_hess_padded
+
+    beta, x, _, mask = _toy(C=16, G=11, n=7, p=3, seed=13)
+    beta = 0.3 * beta
+    x = 0.5 * x
+    y = jnp.abs(jnp.round(3.0 * jax.random.normal(
+        jax.random.key(21), mask.shape
+    )))
+    mask = mask.at[5, :].set(0.0)  # an all-padded group row
+    v0, g0, h0 = poisson_logp_grad_hess_padded(beta, x, y, mask)
+    v1, g1, h1 = poisson_logp_grad_hess_pallas(
+        beta, x, y, mask, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-4)
+
+
 def test_one_step_matches_dense_linalg():
     """Cross-validate ONE newton_update against an independent dense
     reimplementation: jax.grad/jax.hessian of cond_logdensity for (g, H),
