@@ -120,6 +120,16 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
                 continue
 
             algorithm = block.algorithm or cfg.kernel.algorithm
+            if (
+                algorithm == "newton"
+                and name not in model.cond_cached_newton
+            ):
+                # Newton-MH needs the model's analytic value+grad+Hessian
+                # hooks (no autodiff fallback — kernels/newton.py); blocks
+                # without them under a global algorithm='newton' fall back
+                # to MALA (generic vjp gradient), e.g. a half-normal
+                # log_tau MH block in an otherwise-Newton model.
+                algorithm = "mala"
             pstd = precond_std(precond[name], cfg.kernel)
             fused_table = {
                 "rwmh": model.fused_updates,

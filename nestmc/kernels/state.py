@@ -86,6 +86,11 @@ def init_kernel_state(
         )
         accept_sum[b.name] = jnp.zeros((chains, max(b.units, 1)), dtype)
         algorithm = b.algorithm or cfg.kernel.algorithm
+        if (
+            algorithm == "newton"
+            and b.name not in model.cond_cached_newton
+        ):
+            algorithm = "mala"  # same fallback as kernels/gibbs.py
         if b.name in model.cond_cached and algorithm == "rwmh":
             self_fn, _ = model.cond_cached[b.name]
             val = self_fn(position[b.name], data)

@@ -287,6 +287,17 @@ def make_hier_logistic(
         Hessian shares the gradient's sigmoid: w = s(1-s), zero extra
         transcendentals."""
         if isinstance(data, RaggedData):
+            if chosen == "bucket":
+                from nestmc.ops.bucket import (
+                    bucketed_logistic_logp_grad_hess,
+                )
+
+                pad_impl = (
+                    "pallas" if jax.default_backend() == "tpu" else "jnp"
+                )
+                return bucketed_logistic_logp_grad_hess(
+                    value, data.x, data.y, seg_layout, impl=pad_impl
+                )
             from nestmc.ops.loglik import logistic_logp_grad_hess_segment
 
             return logistic_logp_grad_hess_segment(

@@ -125,6 +125,35 @@ def bucketed_logistic_loglik(beta, x, y, layout: BucketLayout,
     return ll
 
 
+def bucketed_logistic_logp_grad_hess(beta, x, y, layout: BucketLayout,
+                                     impl: str = "jnp"):
+    """Fused value+grad+packed-Hessian per bucket — the Newton-MH obs
+    pass on ragged data: ((C, G), (C, G, p), (C, G, T)). Same parity
+    contract as ops/loglik.py::logistic_logp_grad_hess_segment."""
+    C, G, p = beta.shape
+    T = p * (p + 1) // 2
+    ll = jnp.zeros((C, G), jnp.float32)
+    grad = jnp.zeros((C, G, p), jnp.float32)
+    hess = jnp.zeros((C, G, T), jnp.float32)
+    for b in layout.buckets:
+        xb, yb, mb = _gather_bucket(b, x, y)
+        bb = jnp.take(beta, b.group_index, axis=1)
+        if impl == "pallas":
+            from nestmc.ops.pallas.loglik_logistic import (
+                logistic_logp_grad_hess_pallas,
+            )
+
+            llb, gb, hb = logistic_logp_grad_hess_pallas(bb, xb, yb, mb)
+        else:
+            from nestmc.ops.loglik import logistic_logp_grad_hess_padded
+
+            llb, gb, hb = logistic_logp_grad_hess_padded(bb, xb, yb, mb)
+        ll = ll.at[:, b.group_index].set(llb)
+        grad = grad.at[:, b.group_index, :].set(gb)
+        hess = hess.at[:, b.group_index, :].set(hb)
+    return ll, grad, hess
+
+
 def bucketed_logistic_logp_grad(beta, x, y, layout: BucketLayout,
                                 impl: str = "jnp"):
     """Fused value+grad per bucket: ((C, G), (C, G, p))."""

@@ -152,6 +152,24 @@ def _ragged_10k(seed: int, scale: float):
     return model, data, cfg
 
 
+def _ragged_10k_newton(seed: int, scale: float):
+    """Config-4 variant: frozen-metric Newton on the ragged group block.
+
+    The Newton obs pass runs through the bucketed padded kernels
+    (ops/bucket.py::bucketed_logistic_logp_grad_hess); with
+    KernelConfig.newton_freeze (default) the Hessian passes only run
+    during warmup and the sampling-phase obs pass is the bucketed MALA
+    one. Pairs Newton with the conjugate invgamma tau (exact Gibbs draw;
+    the joint metric interweave then covers (mu, tau)). BASELINE.json:10
+    pins no kernel for config 4; the base preset keeps MALA (round-2
+    measured state), this variant is the min-ESS-optimal option."""
+    _, data, cfg = _ragged_10k(seed, scale)
+    model = make_hier_logistic(data, tau_prior="invgamma")
+    return model, data, dataclasses.replace(
+        cfg, kernel=dataclasses.replace(cfg.kernel, algorithm="newton")
+    )
+
+
 def _mala_100k(seed: int, scale: float):
     """Config 5 (BASELINE.json:11): MALA with fused log-density+grad,
     100k groups on v5e-8 (chains x groups mesh)."""
@@ -253,6 +271,7 @@ PRESETS = {
     "nested-poisson-1k-mala": _nested_poisson_1k_mala,
     "nested-poisson-1k-newton": _nested_poisson_1k_newton,
     "ragged-10k": _ragged_10k,
+    "ragged-10k-newton": _ragged_10k_newton,
     "mala-100k": _mala_100k,
 }
 

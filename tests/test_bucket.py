@@ -16,8 +16,10 @@ from nestmc.ops.bucket import (
     BucketLayout,
     bucketed_logistic_loglik,
     bucketed_logistic_logp_grad,
+    bucketed_logistic_logp_grad_hess,
 )
 from nestmc.ops.loglik import (
+    logistic_logp_grad_hess_segment,
     logistic_logp_grad_segment,
     logistic_loglik_segment,
 )
@@ -68,6 +70,26 @@ def test_bucket_logp_grad_parity(case):
     np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref),
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_bucket_logp_grad_hess_parity(case):
+    """The Newton obs pass through the bucket path matches the segment
+    reference (value, grad AND packed Hessian)."""
+    C, G, p, max_n, min_n, empty_every = case
+    beta, x, y, seg = _ragged(jax.random.key(13), C, G, p, max_n,
+                              min_n, empty_every)
+    layout = BucketLayout.build(np.asarray(seg), G, min_groups=4)
+    ll, g, h = bucketed_logistic_logp_grad_hess(beta, x, y, layout)
+    ll_ref, g_ref, h_ref = logistic_logp_grad_hess_segment(
+        beta, x, y, seg, G
+    )
+    np.testing.assert_allclose(np.asarray(ll), np.asarray(ll_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
                                rtol=2e-4, atol=2e-5)
 
 

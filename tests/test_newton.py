@@ -436,6 +436,25 @@ def test_end_to_end_newton_converges():
     assert np.all(mu_err < 0.6), mu_err
 
 
+def test_hookless_blocks_fall_back_to_mala():
+    """A global algorithm='newton' must not crash on MH blocks without
+    cond_cached_newton hooks (e.g. the half-normal log_tau block): they
+    fall back to MALA (generic vjp gradient). Regression: KeyError
+    'log_tau' on the ragged halfnormal preset."""
+    from nestmc.engine import sample
+
+    data, _ = synth_logistic(jax.random.key(4), G=12, n=8, p=3)
+    model = make_hier_logistic(data, tau_prior="halfnormal")
+    cfg = SamplerConfig(
+        kernel=KernelConfig(algorithm="newton"),
+        run=RunConfig(chains=8, warmup=60, draws=60,
+                      log_every_segment=False),
+    )
+    post = sample(model, data, cfg)  # must not raise
+    assert float(post.accept_rates["beta"].mean()) > 0.3
+    assert float(post.accept_rates["log_tau"].mean()) > 0.05
+
+
 def test_rejects_unsupported_unit_shapes():
     bad_unit_shape = (2, 2)
     block = Block("b", (3,) + bad_unit_shape, units=3)
