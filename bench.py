@@ -43,15 +43,15 @@ def main() -> int:
 
     # The judged model: 1k groups x 50 obs, p=4.
     data, _ = synth_logistic(jax.random.key(2000), G=1000, n=50, p=4)
-    # 3072 chains/chip. Under the round-3 bound-metric joint ASIS the
-    # per-chain sweep throughput is FLAT across 2048-6144 (one-process
-    # frozen-sweep scan on v5e: 0.39/0.39/0.38/0.38 chain-sweeps/us —
-    # ESS/s/chip is therefore C-insensitive on this plateau; cross-process
-    # bench numbers carry +-30% axon tunnel timing variance, so same-
-    # process A/Bs are the comparison instrument). The earlier grad-ASIS
-    # scan argmax was also 3072.
+    # 1024 chains/chip: argmax of the frozen-Newton chain scan on v5e
+    # (2026-08-18, this file at c898ffe, sum / min-ESS per s/chip):
+    # C=512 7.32M/75.6k, C=1024 7.64M/79.0k, C=1536 4.93M/50.9k (off the
+    # power-of-2 tiling), C=2048 7.25M/74.8k, C=3072 7.08M/73.0k. The
+    # surface is flat within tunnel variance for power-of-2 C >= 512;
+    # 1024 also minimizes wall time (61.8s vs 108.3s at 3072). The old
+    # MALA-path argmax was 3072.
     chains_per_chip = int(
-        os.environ.get("NESTMC_BENCH_CHAINS_PER_CHIP", 3072)
+        os.environ.get("NESTMC_BENCH_CHAINS_PER_CHIP", 1024)
     )
     warmup = int(os.environ.get("NESTMC_BENCH_WARMUP", 1500))
     draws = int(os.environ.get("NESTMC_BENCH_DRAWS", 4096))
