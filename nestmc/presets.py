@@ -170,6 +170,21 @@ def _ragged_10k_newton(seed: int, scale: float):
     )
 
 
+def _hier_logistic_100_newton(seed: int, scale: float):
+    """Config-2 variant: frozen-metric Newton-MH group blocks + conjugate
+    invgamma tau. BASELINE.json:8 pins 'MH-within-Gibbs', which Newton-MH
+    satisfies (it IS an MH block move, with a Laplace proposal); the base
+    preset keeps the round-2 adaptive-RW state, this variant is the
+    min-ESS-optimal option (the config-2 floor was beta[13,2] at
+    25.2k/s/chip under RW — a group-block mixing floor, exactly what
+    Newton attacks)."""
+    _, data, cfg = _hier_logistic_100(seed, scale)
+    model = make_hier_logistic(data, tau_prior="invgamma")
+    return model, data, dataclasses.replace(
+        cfg, kernel=dataclasses.replace(cfg.kernel, algorithm="newton")
+    )
+
+
 def _mala_100k(seed: int, scale: float):
     """Config 5 (BASELINE.json:11): MALA with fused log-density+grad,
     100k groups on v5e-8 (chains x groups mesh)."""
@@ -207,6 +222,20 @@ def _mala_100k(seed: int, scale: float):
         ),
     )
     return model, data, cfg
+
+
+def _mala_100k_newton(seed: int, scale: float):
+    """Config-5 variant: frozen-metric Newton at G=100k. BASELINE.json:11
+    pins 'MALA/gradient-based variant'; frozen Newton's sampling phase IS
+    a gradient step (fixed Laplace metric, carried grad) — offered as a
+    variant, the base preset keeps plain MALA. Memory: the carried packed
+    Hessian adds (C, G, p(p+1)/2) f32 = 1.2 GB at C=512, G=100k, p=3 on
+    top of MALA's (v, g) cache — fits v5e's 16 GB HBM."""
+    _, data, cfg = _mala_100k(seed, scale)
+    model = make_hier_logistic(data, tau_prior="invgamma")
+    return model, data, dataclasses.replace(
+        cfg, kernel=dataclasses.replace(cfg.kernel, algorithm="newton")
+    )
 
 
 def _nested_poisson_1k_mala(seed: int, scale: float):
@@ -265,6 +294,7 @@ def _hier_logistic_1k_newton(seed: int, scale: float):
 PRESETS = {
     "eight-schools": _eight_schools,
     "hier-logistic-100": _hier_logistic_100,
+    "hier-logistic-100-newton": _hier_logistic_100_newton,
     "hier-logistic-1k": _hier_logistic_1k,
     "hier-logistic-1k-newton": _hier_logistic_1k_newton,
     "nested-poisson-1k": _nested_poisson_1k,
@@ -273,6 +303,7 @@ PRESETS = {
     "ragged-10k": _ragged_10k,
     "ragged-10k-newton": _ragged_10k_newton,
     "mala-100k": _mala_100k,
+    "mala-100k-newton": _mala_100k_newton,
 }
 
 
