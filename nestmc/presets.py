@@ -125,20 +125,29 @@ def _nested_poisson_1k(seed: int, scale: float):
 
 def _ragged_10k(seed: int, scale: float):
     """Config 4 (BASELINE.json:10): ragged segment data, 10k groups,
-    1024 chains sharded over ICI (chains axis)."""
+    1024 chains sharded over ICI (chains axis).
+
+    Default kernel: frozen-metric Newton + conjugate invgamma tau
+    (BASELINE.json:10 pins no kernel). The Newton obs pass runs through
+    the bucketed padded kernels (ops/bucket.py::
+    bucketed_logistic_logp_grad_hess); with KernelConfig.newton_freeze
+    (default) the Hessian passes only run during warmup and the
+    sampling-phase obs pass is the bucketed MALA one. Measured at spec
+    scale (all-param R-hat, real v5e, 2026-08-18): newton 539k sum /
+    5,028 min ESS/s/chip (`ragged-10k-newton_443f0a1`) vs the round-2
+    MALA state's 400k / 3,260 (`ragged-10k_0363afd`) — newton wins both
+    conventions (1.35x / 1.54x), so it is the default; the MALA state
+    stays reproducible as `ragged-10k-mala`."""
     G = max(64, int(10_000 * min(scale * 10, 1.0)))
     data, _ = synth_logistic(
         jax.random.key(seed + 4000), G=G, n=30, p=3, ragged=True
     )
-    model = make_hier_logistic(data)
+    model = make_hier_logistic(data, tau_prior="invgamma")
     n_dev = len(jax.devices())
     cfg = SamplerConfig(
-        # MALA via the bucketed fused logp+grad path (O(C N) peak memory):
-        # fits 1024 chains on one chip, unlike the round-1 vjp-through-
-        # gather that OOMed and forced an RW fallback.
-        kernel=KernelConfig(algorithm="mala"),
-        # 800/2048: the converged schedule (worst split R-hat 1.0091,
-        # artifact ragged-10k_19eb866)
+        kernel=KernelConfig(algorithm="newton"),
+        # 800/2048: the converged schedule (worst all-param split R-hat
+        # 1.0070, artifact ragged-10k-newton_443f0a1)
         run=RunConfig(
             chains=1024 if scale >= 1.0 else 8 * max(n_dev, 1),
             warmup=max(50, int(800 * scale)),
@@ -152,21 +161,16 @@ def _ragged_10k(seed: int, scale: float):
     return model, data, cfg
 
 
-def _ragged_10k_newton(seed: int, scale: float):
-    """Config-4 variant: frozen-metric Newton on the ragged group block.
-
-    The Newton obs pass runs through the bucketed padded kernels
-    (ops/bucket.py::bucketed_logistic_logp_grad_hess); with
-    KernelConfig.newton_freeze (default) the Hessian passes only run
-    during warmup and the sampling-phase obs pass is the bucketed MALA
-    one. Pairs Newton with the conjugate invgamma tau (exact Gibbs draw;
-    the joint metric interweave then covers (mu, tau)). BASELINE.json:10
-    pins no kernel for config 4; the base preset keeps MALA (round-2
-    measured state), this variant is the min-ESS-optimal option."""
+def _ragged_10k_mala(seed: int, scale: float):
+    """Config-4 round-2 state: MALA via the bucketed fused logp+grad
+    path (O(C N) peak memory: fits 1024 chains on one chip, unlike the
+    round-1 vjp-through-gather that OOMed and forced an RW fallback) with
+    the half-normal tau MH block + Langevin ASIS. Converged artifact
+    `ragged-10k_0363afd` (all-param R-hat 1.0067, 400k / 3,260)."""
     _, data, cfg = _ragged_10k(seed, scale)
-    model = make_hier_logistic(data, tau_prior="invgamma")
+    model = make_hier_logistic(data)
     return model, data, dataclasses.replace(
-        cfg, kernel=dataclasses.replace(cfg.kernel, algorithm="newton")
+        cfg, kernel=dataclasses.replace(cfg.kernel, algorithm="mala")
     )
 
 
@@ -301,7 +305,9 @@ PRESETS = {
     "nested-poisson-1k-mala": _nested_poisson_1k_mala,
     "nested-poisson-1k-newton": _nested_poisson_1k_newton,
     "ragged-10k": _ragged_10k,
-    "ragged-10k-newton": _ragged_10k_newton,
+    # back-compat alias: the newton variant IS the default since 2026-08-18
+    "ragged-10k-newton": _ragged_10k,
+    "ragged-10k-mala": _ragged_10k_mala,
     "mala-100k": _mala_100k,
     "mala-100k-newton": _mala_100k_newton,
 }
