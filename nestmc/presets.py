@@ -229,16 +229,26 @@ def _mala_100k(seed: int, scale: float):
 
 
 def _mala_100k_newton(seed: int, scale: float):
-    """Config-5 variant: frozen-metric Newton at G=100k. BASELINE.json:11
-    pins 'MALA/gradient-based variant'; frozen Newton's sampling phase IS
-    a gradient step (fixed Laplace metric, carried grad) — offered as a
-    variant, the base preset keeps plain MALA. Memory: the carried packed
-    Hessian adds (C, G, p(p+1)/2) f32 = 1.2 GB at C=512, G=100k, p=3 on
-    top of MALA's (v, g) cache — fits v5e's 16 GB HBM."""
+    """Config-5 variant: frozen-metric Newton at G=100k — measured and
+    REJECTED as a default (artifact `mala-100k-newton_a5b2a6d`, 2026-08-18):
+    at C=512 the Newton warmup working set (carry + {v,g,h} proposal +
+    packed-Hessian cache + full-R-hat accumulators) OOMs HBM and crashes
+    the worker; at C=256 the run completes but fails the 1.01 all-param
+    gate (worst R-hat 1.0183, floor log_tau[2]) and is ~8.6x slower per
+    chain-sweep than the unfused MALA default (6.7 sweeps/s). Kept
+    reproducible for the record; `mala-100k` (MALA + Langevin ASIS)
+    remains the config-5 default. BASELINE.md "Newton across the config
+    ladder" has the full analysis and the two confounds (fused_accept
+    off; invgamma vs half-normal tau)."""
     _, data, cfg = _mala_100k(seed, scale)
     model = make_hier_logistic(data, tau_prior="invgamma")
+    run = dataclasses.replace(
+        cfg.run, chains=256 if cfg.run.chains > 256 else cfg.run.chains
+    )
     return model, data, dataclasses.replace(
-        cfg, kernel=dataclasses.replace(cfg.kernel, algorithm="newton")
+        cfg,
+        run=run,
+        kernel=dataclasses.replace(cfg.kernel, algorithm="newton"),
     )
 
 
