@@ -22,6 +22,7 @@ import time
 def run_preset(
     name: str, scale: float, seed: int,
     chain_shards: int | None = None, group_shards: int | None = None,
+    algorithm: str | None = None, fused_accept: bool | None = None,
     **overrides,
 ) -> dict:
     import dataclasses
@@ -35,6 +36,15 @@ def run_preset(
     overrides = {k: v for k, v in overrides.items() if v is not None}
     if overrides:
         cfg = override_run(cfg, **overrides)
+    kernel_over = {
+        k: v for k, v in
+        (("algorithm", algorithm), ("fused_accept", fused_accept))
+        if v is not None
+    }
+    if kernel_over:
+        cfg = dataclasses.replace(
+            cfg, kernel=dataclasses.replace(cfg.kernel, **kernel_over)
+        )
     shard_over = {
         k: v for k, v in
         (("chain_shards", chain_shards), ("group_shards", group_shards))
@@ -106,6 +116,16 @@ def main() -> int:
     ap.add_argument("--segment-size", type=int)
     ap.add_argument("--chain-shards", type=int)
     ap.add_argument("--group-shards", type=int)
+    # kernel overrides (A/B experiments without touching the presets)
+    ap.add_argument(
+        "--algorithm", choices=["rwmh", "mala", "newton"],
+        help="override KernelConfig.algorithm for the preset",
+    )
+    ap.add_argument(
+        "--fused-accept", type=int, choices=[0, 1],
+        help="override KernelConfig.fused_accept (single-kernel "
+             "propose+lik+accept Pallas step; TPU only)",
+    )
     ap.add_argument(
         "--full-rhat-thin", type=int,
         help="fold every k-th retained draw into the streaming R-hat "
@@ -144,6 +164,10 @@ def main() -> int:
             full_rhat_thin=args.full_rhat_thin,
             chain_shards=args.chain_shards,
             group_shards=args.group_shards,
+            algorithm=args.algorithm,
+            fused_accept=(
+                None if args.fused_accept is None else bool(args.fused_accept)
+            ),
         )
         res["meta"] = meta
         print(json.dumps(res, default=str))

@@ -72,16 +72,22 @@ def _hier_logistic_100(seed: int, scale: float):
 def _hier_logistic_1k(seed: int, scale: float):
     """The judged-metric model (BASELINE.json:2,5): 1k groups, many chains.
 
-    MALA kernel (fused Pallas logp+grad + carried gradient cache): measured
-    6.3x the ESS/s of adapted RW-MH on this model at equal sweep cost.
-    Conjugate invgamma tau: +33% min-ESS/s over halfnormal+MH (round-2
-    A/B, benchmarks/judged_ab.py); fused single-kernel MALA step on."""
+    FROZEN-METRIC NEWTON default (round 3, matching bench.py): Laplace
+    group proposals off a carried {v, g, packed-H} cache, Hessian
+    refreshed during warmup and frozen for sampling (KernelConfig
+    .newton_freeze) so the sampling obs pass costs the same as MALA's
+    while beta mixes near-IID — measured A/B at C=256
+    (benchmarks/judged_ab.py, 2026-08-18): MALA 5.34M sum / 54.0k min
+    ESS/s/chip -> Newton-frozen 9.84M / 100.6k, sweep rates within 6%.
+    Conjugate invgamma tau (+33% min-ESS/s over halfnormal+MH, round-2
+    A/B) and the fused single-kernel step stay on; the round-2 MALA
+    state is `hier-logistic-1k-mala`."""
     data, _ = synth_logistic(
         jax.random.key(seed + 2000), G=1000, n=50, p=4
     )
     model = make_hier_logistic(data, tau_prior="invgamma")
     cfg = SamplerConfig(
-        kernel=KernelConfig(algorithm="mala", fused_accept=True),
+        kernel=KernelConfig(algorithm="newton", fused_accept=True),
         run=RunConfig(
             chains=256,
             warmup=max(50, int(1000 * scale)),
@@ -284,24 +290,17 @@ def _nested_poisson_1k_newton(seed: int, scale: float):
     )
 
 
-def _hier_logistic_1k_newton(seed: int, scale: float):
-    """Documented variant of the judged preset: Newton-MH group blocks
-    (kernels/newton.py, fused single-kernel step) + parameter-free joint
-    (mu, tau) Laplace interweave off the carried Hessian.
-
-    Min-ESS-OPTIMAL, not sum-optimal: measured on v5e at C=256 (round 3),
-    beta acceptance 0.82 (vs MALA's 0.574) and interweave acceptance 0.94,
-    min-ESS/draw x3.5 over the MALA+bound-metric default — but the
-    Hessian reduction passes make the sweep ~2.1x slower, so the
-    sum-of-ESS/s headline stays with the MALA preset. Pick this when the
-    WORST-mixing coordinate is the budget (e.g. tail inference on the
-    hypers) or when draws are expensive downstream (fewest draws to a
-    given all-param R-hat: 1.0016 vs 1.0036 at the same schedule)."""
+def _hier_logistic_1k_mala(seed: int, scale: float):
+    """The judged preset's round-2 state: MALA group updates (fused
+    single-kernel step, carried gradient cache) + bound-metric Langevin
+    ASIS interweave. Superseded as the default by frozen-metric Newton
+    (see `_hier_logistic_1k`), which wins BOTH ESS conventions at a
+    sweep rate within 6%; kept reproducible for A/Bs
+    (benchmarks/judged_ab.py) and as the reference point for the
+    round-2 artifacts (BENCH_r02, `bench-gradasis-r1_aa016ec`)."""
     model, data, cfg = _hier_logistic_1k(seed, scale)
-    import dataclasses
-
     return model, data, dataclasses.replace(
-        cfg, kernel=dataclasses.replace(cfg.kernel, algorithm="newton")
+        cfg, kernel=dataclasses.replace(cfg.kernel, algorithm="mala")
     )
 
 
@@ -310,7 +309,9 @@ PRESETS = {
     "hier-logistic-100": _hier_logistic_100,
     "hier-logistic-100-newton": _hier_logistic_100_newton,
     "hier-logistic-1k": _hier_logistic_1k,
-    "hier-logistic-1k-newton": _hier_logistic_1k_newton,
+    # back-compat alias: the newton variant IS the default since 2026-08-18
+    "hier-logistic-1k-newton": _hier_logistic_1k,
+    "hier-logistic-1k-mala": _hier_logistic_1k_mala,
     "nested-poisson-1k": _nested_poisson_1k,
     "nested-poisson-1k-mala": _nested_poisson_1k_mala,
     "nested-poisson-1k-newton": _nested_poisson_1k_newton,
