@@ -210,7 +210,13 @@ def _mala_100k(seed: int, scale: float):
     # chip at the converged 1500/4096 schedule: C=64 -> 22-24k, 128 ->
     # 45k, 256 -> 55k, 512 -> 63k (worst R-hat 1.0026 throughout).
     cfg = SamplerConfig(
-        kernel=KernelConfig(algorithm="mala"),
+        # fused_accept: the single-kernel MALA step measured 1.16x at
+        # G=100k (68.1k vs 58.5k ESS/s/chip, floor 967 vs 723/s, worst
+        # all-param R-hat 1.0015; artifact `mala-100k_20e173a_212709`,
+        # 2026-08-18) — it was off here through round 2 purely because it
+        # was never A/B'd at this scale (the round-3 Newton rejection
+        # named it as a confound, now resolved).
+        kernel=KernelConfig(algorithm="mala", fused_accept=True),
         # 1500/4096: the converged schedule (worst split R-hat 1.0026,
         # artifact mala-100k_a41740d_20260817_074655) — `--preset
         # mala-100k` must reproduce the committed artifact with no
