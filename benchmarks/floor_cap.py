@@ -13,10 +13,11 @@ Comparing per-coordinate bulk ESS of log_tau vs the derived log_s2
                                   a better move (more ASIS passes, etc.)
                                   has headroom
 
-    /opt/venv/bin/python -m benchmarks.floor_cap [--chains 2048]
+    /opt/venv/bin/python -m benchmarks.floor_cap [--chains 1024]
 
-Defaults mirror bench.py's judged configuration (fused MALA step +
-conjugate invgamma tau + Langevin ASIS).
+Defaults mirror bench.py's judged configuration (round 3: fused frozen-
+metric Newton step + conjugate invgamma tau + joint Laplace interweave;
+--algorithm mala reproduces the round-2 measurement).
 """
 
 from __future__ import annotations
@@ -28,9 +29,12 @@ import time
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--chains", type=int, default=2048)
+    ap.add_argument("--chains", type=int, default=1024)
     ap.add_argument("--warmup", type=int, default=1500)
     ap.add_argument("--draws", type=int, default=4096)
+    ap.add_argument(
+        "--algorithm", default="newton", choices=["rwmh", "mala", "newton"]
+    )
     args = ap.parse_args()
 
     import jax
@@ -44,7 +48,7 @@ def main() -> int:
     data, _ = synth_logistic(jax.random.key(2000), G=1000, n=50, p=4)
     model = make_hier_logistic(data, tau_prior="invgamma")
     cfg = SamplerConfig(
-        kernel=KernelConfig(algorithm="mala", fused_accept=True),
+        kernel=KernelConfig(algorithm=args.algorithm, fused_accept=True),
         run=RunConfig(
             chains=args.chains, warmup=args.warmup, draws=args.draws,
             seed=0, segment_size=4096,
@@ -70,6 +74,7 @@ def main() -> int:
             "ratio_tau_over_s2": round(e_tau / max(e_s2, 1e-9), 3),
         })
     print(json.dumps({
+        "algorithm": args.algorithm,
         "chains": args.chains,
         "draws": args.draws,
         "pooled_draws": int(lt.shape[0] * lt.shape[1]),

@@ -23,6 +23,7 @@ def run_preset(
     name: str, scale: float, seed: int,
     chain_shards: int | None = None, group_shards: int | None = None,
     algorithm: str | None = None, fused_accept: bool | None = None,
+    fused_accept_warmup: bool | None = None,
     **overrides,
 ) -> dict:
     import dataclasses
@@ -38,7 +39,8 @@ def run_preset(
         cfg = override_run(cfg, **overrides)
     kernel_over = {
         k: v for k, v in
-        (("algorithm", algorithm), ("fused_accept", fused_accept))
+        (("algorithm", algorithm), ("fused_accept", fused_accept),
+         ("fused_accept_warmup", fused_accept_warmup))
         if v is not None
     }
     if kernel_over:
@@ -127,6 +129,11 @@ def main() -> int:
              "propose+lik+accept Pallas step; TPU only)",
     )
     ap.add_argument(
+        "--fused-accept-warmup", type=int, choices=[0, 1],
+        help="override KernelConfig.fused_accept_warmup (0 = unfused "
+             "warmup + fused sampling)",
+    )
+    ap.add_argument(
         "--full-rhat-thin", type=int,
         help="fold every k-th retained draw into the streaming R-hat "
              "accumulators (RunConfig.full_rhat_thin); cuts the Welford "
@@ -167,6 +174,10 @@ def main() -> int:
             algorithm=args.algorithm,
             fused_accept=(
                 None if args.fused_accept is None else bool(args.fused_accept)
+            ),
+            fused_accept_warmup=(
+                None if args.fused_accept_warmup is None
+                else bool(args.fused_accept_warmup)
             ),
         )
         res["meta"] = meta

@@ -33,6 +33,12 @@ class KernelConfig:
     algorithm: str = "rwmh"
     fused_accept: bool = False  # use single-kernel propose+lik+accept
     # updates where the model provides one (Pallas; own PRNG stream)
+    fused_accept_warmup: bool = True  # engage the fused step in the
+    # WARMUP program too. The warmup-phase fused Newton kernel refreshes
+    # the Hessian in-register every step; on the bucketed ragged path
+    # that measured SLOWER than the op-by-op refresh (12 vs 20 warmup
+    # sweeps/s at config-4 scale) while the frozen sampling-phase kernel
+    # is 1.19x — set False to run unfused warmup + fused sampling.
     newton_freeze: bool = True  # Newton-MH: FREEZE the carried likelihood
     # Hessian at warmup end and run the sampling phase with it as a
     # constant metric. The sampling-phase obs pass then computes only

@@ -138,6 +138,7 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
             }[algorithm]
             use_fused = (
                 cfg.kernel.fused_accept
+                and (cfg.kernel.fused_accept_warmup or not adapt)
                 and name in fused_table
                 and pstd is None
                 # interpret mode stubs the TPU core PRNG with zeros

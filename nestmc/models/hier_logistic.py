@@ -143,6 +143,12 @@ def make_hier_logistic(
     lik_fn, chosen, seg_layout = _resolve_loglik(data, loglik_impl)
     if isinstance(data, RaggedData):
         _dense_data = False
+        if chosen == "bucket":
+            from nestmc.ops.bucket import covers_all_groups
+
+            _bucket_full = covers_all_groups(seg_layout)
+        else:
+            _bucket_full = False
     else:
         import numpy as np
 
@@ -376,14 +382,25 @@ def make_hier_logistic(
 
     def fused_mala_beta_update(key, position, cache, log_scale, data):
         """Single-kernel MALA update of beta (ops/pallas/mala_accept.py):
-        propose+logp+grad+correct+accept+select in one pass."""
-        from nestmc.ops.pallas.mala_accept import fused_mala_logistic_step
-
+        propose+logp+grad+correct+accept+select in one pass. Ragged data
+        runs the same kernel once per size bucket
+        (ops/bucket.py::bucketed_fused_mala_step)."""
         c = cache.get("beta")
         if isinstance(c, dict):
             v, g = c["v"], c["g"]
         else:
             v, g = lik_value_and_grad(position["beta"], data)
+        if isinstance(data, RaggedData):
+            from nestmc.ops.bucket import bucketed_fused_mala_step
+
+            nb, nv, ng, alpha = bucketed_fused_mala_step(
+                key, position["beta"], v, g, log_scale,
+                position["mu"], position["log_tau"],
+                data.x, data.y, seg_layout,
+            )
+            return nb, {"v": nv, "g": ng}, alpha
+        from nestmc.ops.pallas.mala_accept import fused_mala_logistic_step
+
         nb, nv, ng, alpha = fused_mala_logistic_step(
             key, position["beta"], v, g, log_scale,
             position["mu"], position["log_tau"],
@@ -397,16 +414,27 @@ def make_hier_logistic(
         (ops/pallas/newton_accept.py): Laplace propose + logp+grad+Hess obs
         pass + full correction + accept + select in one pass. frozen: the
         carried Hessian is a constant metric (sampling phase of
-        KernelConfig.newton_freeze) — the obs pass drops to MALA cost."""
-        from nestmc.ops.pallas.newton_accept import (
-            fused_newton_logistic_step,
-        )
-
+        KernelConfig.newton_freeze) — the obs pass drops to MALA cost.
+        Ragged data runs the same kernel once per size bucket
+        (ops/bucket.py::bucketed_fused_newton_step)."""
         c = cache.get("beta")
         if isinstance(c, dict) and "h" in c:
             v, g, h = c["v"], c["g"], c["h"]
         else:
             v, g, h = lik_value_grad_hess(position["beta"], data)
+        if isinstance(data, RaggedData):
+            from nestmc.ops.bucket import bucketed_fused_newton_step
+
+            nb, nv, ng, nh, alpha = bucketed_fused_newton_step(
+                key, position["beta"], v, g, h, log_scale,
+                position["mu"], position["log_tau"],
+                data.x, data.y, seg_layout, frozen=frozen,
+            )
+            return nb, {"v": nv, "g": ng, "h": nh}, alpha
+        from nestmc.ops.pallas.newton_accept import (
+            fused_newton_logistic_step,
+        )
+
         nb, nv, ng, nh, alpha = fused_newton_logistic_step(
             key, position["beta"], v, g, h, log_scale,
             position["mu"], position["log_tau"],
@@ -761,16 +789,25 @@ def make_hier_logistic(
         # RW optimum under rwmh; the MALA optimum once the grad cache
         # makes the move Langevin (resolved by kernels/gibbs.py)
         joint_move_target_accept={"asis_tau": "auto"},
+        # Ragged data: the MALA/Newton fused steps run per size bucket
+        # (ops/bucket.py) — available only through the bucket layout and
+        # only when every group has >= 1 obs (a size-0 group still needs
+        # its prior-only MH move, which the bucketed step would skip);
+        # otherwise the sweep keeps the unfused op-by-op update. The RW
+        # fused step stays padded-only (config 4's kernels are MALA/
+        # Newton; ragged RW has no measured hot path).
         fused_updates=(
             {} if isinstance(data, RaggedData)
             else {"beta": fused_beta_update}
         ),
         fused_updates_mala=(
-            {} if isinstance(data, RaggedData)
+            ({"beta": fused_mala_beta_update} if _bucket_full else {})
+            if isinstance(data, RaggedData)
             else {"beta": fused_mala_beta_update}
         ),
         fused_updates_newton=(
-            {} if isinstance(data, RaggedData)
+            ({"beta": fused_newton_beta_update} if _bucket_full else {})
+            if isinstance(data, RaggedData)
             else {"beta": fused_newton_beta_update}
         ),
         cond_value_and_grad=cond_value_and_grad,

@@ -154,6 +154,111 @@ def bucketed_logistic_logp_grad_hess(beta, x, y, layout: BucketLayout,
     return ll, grad, hess
 
 
+def covers_all_groups(layout: BucketLayout) -> bool:
+    """True when every group falls in some bucket (i.e. no size-0 groups).
+
+    The bucketed FUSED STEPS below update only bucketed groups; a size-0
+    group still needs its prior-only MH move each sweep, so the model
+    wiring must fall back to the unfused update when coverage is partial
+    (the bucketed LIKELIHOOD reductions above are unaffected: a size-0
+    group's log-likelihood is exactly the zero the scatter leaves)."""
+    covered = sum(int(b.group_index.shape[0]) for b in layout.buckets)
+    return covered == layout.num_groups
+
+
+def bucketed_fused_mala_step(key, beta, v, g, log_scale, mu, log_tau,
+                             x, y, layout: BucketLayout, noise=None):
+    """Single-kernel MALA step (ops/pallas/mala_accept.py) over ragged
+    data: one fused propose+logp+grad+correct+accept launch per size
+    bucket, gather/scatter glue between. Each bucket is an independent
+    partition of the conditionally-independent group block, so running
+    the padded fused kernel per bucket IS the whole-block update — same
+    math as kernels/mala.py, per-bucket PRNG streams via fold_in.
+
+    beta (C,G,p); v (C,G)/g (C,G,p) the carried data-lik cache; noise:
+    None (on-core PRNG) or (eps (C,G,p), logu (C,G)) for exact-parity
+    tests. Requires covers_all_groups(layout) — callers enforce.
+    Returns (new_beta, new_v, new_g, alpha (C,G))."""
+    from nestmc.ops.pallas.mala_accept import fused_mala_logistic_step
+
+    C, G, _ = beta.shape
+    nb, nv, ng = beta, v, g
+    alpha = jnp.zeros((C, G), jnp.float32)
+    per_unit_scale = log_scale.shape[-1] != 1
+    for i, b in enumerate(layout.buckets):
+        xb, yb, mb = _gather_bucket(b, x, y)
+        kb = jax.random.fold_in(key, i)
+        bb = jnp.take(beta, b.group_index, axis=1)
+        vb = jnp.take(v, b.group_index, axis=1)
+        gb = jnp.take(g, b.group_index, axis=1)
+        lsb = (
+            jnp.take(log_scale, b.group_index, axis=1)
+            if per_unit_scale else log_scale
+        )
+        nz = None
+        if noise is not None:
+            eps, logu = noise
+            nz = (
+                jnp.take(eps, b.group_index, axis=1),
+                jnp.take(logu, b.group_index, axis=1),
+            )
+        nbb, nvb, ngb, ab = fused_mala_logistic_step(
+            kb, bb, vb, gb, lsb, mu, log_tau, xb, yb, mb, noise=nz,
+        )
+        nb = nb.at[:, b.group_index].set(nbb)
+        nv = nv.at[:, b.group_index].set(nvb)
+        ng = ng.at[:, b.group_index].set(ngb)
+        alpha = alpha.at[:, b.group_index].set(ab)
+    return nb, nv, ng, alpha
+
+
+def bucketed_fused_newton_step(key, beta, v, g, h, log_scale, mu, log_tau,
+                               x, y, layout: BucketLayout, noise=None,
+                               frozen: bool = False):
+    """Newton-MH analog of bucketed_fused_mala_step
+    (ops/pallas/newton_accept.py per bucket): Laplace propose +
+    logp/grad(+Hess) obs pass + correction + accept in one kernel per
+    size bucket. frozen: the carried packed Hessian is a constant metric
+    (sampling phase of KernelConfig.newton_freeze) — per-bucket kernels
+    skip the Hessian pass and h is returned unchanged.
+    Returns (new_beta, new_v, new_g, new_h, alpha (C,G))."""
+    from nestmc.ops.pallas.newton_accept import fused_newton_logistic_step
+
+    C, G, _ = beta.shape
+    nb, nv, ng, nh = beta, v, g, h
+    alpha = jnp.zeros((C, G), jnp.float32)
+    per_unit_scale = log_scale.shape[-1] != 1
+    for i, b in enumerate(layout.buckets):
+        xb, yb, mb = _gather_bucket(b, x, y)
+        kb = jax.random.fold_in(key, i)
+        bb = jnp.take(beta, b.group_index, axis=1)
+        vb = jnp.take(v, b.group_index, axis=1)
+        gb = jnp.take(g, b.group_index, axis=1)
+        hb = jnp.take(h, b.group_index, axis=1)
+        lsb = (
+            jnp.take(log_scale, b.group_index, axis=1)
+            if per_unit_scale else log_scale
+        )
+        nz = None
+        if noise is not None:
+            eps, logu = noise
+            nz = (
+                jnp.take(eps, b.group_index, axis=1),
+                jnp.take(logu, b.group_index, axis=1),
+            )
+        nbb, nvb, ngb, nhb, ab = fused_newton_logistic_step(
+            kb, bb, vb, gb, hb, lsb, mu, log_tau, xb, yb, mb,
+            noise=nz, frozen=frozen,
+        )
+        nb = nb.at[:, b.group_index].set(nbb)
+        nv = nv.at[:, b.group_index].set(nvb)
+        ng = ng.at[:, b.group_index].set(ngb)
+        if not frozen:
+            nh = nh.at[:, b.group_index].set(nhb)
+        alpha = alpha.at[:, b.group_index].set(ab)
+    return nb, nv, ng, nh, alpha
+
+
 def bucketed_logistic_logp_grad(beta, x, y, layout: BucketLayout,
                                 impl: str = "jnp"):
     """Fused value+grad per bucket: ((C, G), (C, G, p))."""

@@ -151,7 +151,16 @@ def _ragged_10k(seed: int, scale: float):
     model = make_hier_logistic(data, tau_prior="invgamma")
     n_dev = len(jax.devices())
     cfg = SamplerConfig(
-        kernel=KernelConfig(algorithm="newton"),
+        # Bucketed fused Newton step (ops/bucket.py, round 3), MIXED
+        # phases: the frozen sampling-phase kernel measured 1.19x (36.7
+        # vs 30.8 sweeps/s at 300/512 probe scale) but the warmup-phase
+        # Hessian-refresh kernel is SLOWER than op-by-op (12 vs 20
+        # sweeps/s), so warmup stays unfused (fused_accept_warmup=False:
+        # warmup 15.3 s + sample 14.2 s at probe scale — best of both).
+        kernel=KernelConfig(
+            algorithm="newton", fused_accept=True,
+            fused_accept_warmup=False,
+        ),
         # 800/2048: the converged schedule (worst all-param split R-hat
         # 1.0070, artifact ragged-10k-newton_443f0a1)
         run=RunConfig(
