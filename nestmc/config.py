@@ -34,11 +34,14 @@ class KernelConfig:
     fused_accept: bool = False  # use single-kernel propose+lik+accept
     # updates where the model provides one (Pallas; own PRNG stream)
     fused_accept_warmup: bool = True  # engage the fused step in the
-    # WARMUP program too. The warmup-phase fused Newton kernel refreshes
-    # the Hessian in-register every step; on the bucketed ragged path
-    # that measured SLOWER than the op-by-op refresh (12 vs 20 warmup
-    # sweeps/s at config-4 scale) while the frozen sampling-phase kernel
-    # is 1.19x — set False to run unfused warmup + fused sampling.
+    # WARMUP program too; False runs unfused warmup + fused sampling.
+    # Measured equal-cost on every shape probed (judged C=256/G=1k and
+    # bucketed-ragged C=1024/G=10k: in-process steady-state 13.32 s
+    # fused vs 13.63 s unfused per 300 warmup sweeps, 2026-08-19) — an
+    # earlier cross-process reading that made fused warmup look 1.66x
+    # slower on the ragged path was axon first-execution variance. Kept
+    # as an escape hatch for shapes where the in-register Hessian
+    # refresh might genuinely lose to the op-by-op one.
     newton_freeze: bool = True  # Newton-MH: FREEZE the carried likelihood
     # Hessian at warmup end and run the sampling phase with it as a
     # constant metric. The sampling-phase obs pass then computes only

@@ -45,18 +45,28 @@ def _eight_schools(seed: int, scale: float):
 
 
 def _hier_logistic_100(seed: int, scale: float):
-    """Config 2 (BASELINE.json:8): 100 groups x 50 obs, 64 chains."""
+    """Config 2 (BASELINE.json:8): 100 groups x 50 obs, 64 chains.
+
+    FROZEN-METRIC NEWTON default (since 2026-08-18): BASELINE.json:8 pins
+    'MH-within-Gibbs', which Newton-MH satisfies (it IS an MH block move,
+    with a Laplace proposal) — and it wins both ESS conventions 6.3x/6.6x
+    over the round-2 adaptive-RW state (18.17M vs 2.89M sum, 166.2k vs
+    25.2k min ESS/s/chip at all-param R-hat 1.0005 vs 1.0062; artifact
+    `hier-logistic-100-newton_3ef7c20`). The RW floor was beta[13,2] — a
+    group-block mixing floor, exactly what the Laplace proposal attacks.
+    The RW state stays reproducible as `hier-logistic-100-rw`."""
     data, _ = synth_logistic(
         jax.random.key(seed + 1000), G=100, n=50, p=4
     )
-    model = make_hier_logistic(data)
+    model = make_hier_logistic(data, tau_prior="invgamma")
     # big scan segments: this tiny model sweeps at ~7000/s on-chip, so
     # per-segment host syncs through the remote tunnel dominate wall time
     # at the default segment_size=500
-    # 1500/4096: the converged schedule (worst split R-hat 1.0052,
-    # artifact hier-logistic-100_eee2cb2) — the preset reproduces the
-    # committed artifact with no overrides
+    # 1500/4096: the converged schedule (worst all-param split R-hat
+    # 1.0005, artifact hier-logistic-100-newton_3ef7c20) — the preset
+    # reproduces the committed artifact with no overrides
     cfg = SamplerConfig(
+        kernel=KernelConfig(algorithm="newton"),
         run=RunConfig(
             chains=64,
             warmup=max(50, int(1500 * scale)),
@@ -67,6 +77,17 @@ def _hier_logistic_100(seed: int, scale: float):
         ),
     )
     return model, data, cfg
+
+
+def _hier_logistic_100_rw(seed: int, scale: float):
+    """Config-2 round-2 state: adaptive RW-MH + half-normal tau MH block
+    (converged artifact `hier-logistic-100_0e5e574`: all-param R-hat
+    1.0062, 2.89M ESS/s/chip, floor beta[13,2] at 25.2k/s)."""
+    _, data, cfg = _hier_logistic_100(seed, scale)
+    model = make_hier_logistic(data)
+    return model, data, dataclasses.replace(
+        cfg, kernel=dataclasses.replace(cfg.kernel, algorithm="rwmh")
+    )
 
 
 def _hier_logistic_1k(seed: int, scale: float):
@@ -151,16 +172,15 @@ def _ragged_10k(seed: int, scale: float):
     model = make_hier_logistic(data, tau_prior="invgamma")
     n_dev = len(jax.devices())
     cfg = SamplerConfig(
-        # Bucketed fused Newton step (ops/bucket.py, round 3), MIXED
+        # Bucketed fused Newton step (ops/bucket.py, round 3) in BOTH
         # phases: the frozen sampling-phase kernel measured 1.19x (36.7
-        # vs 30.8 sweeps/s at 300/512 probe scale) but the warmup-phase
-        # Hessian-refresh kernel is SLOWER than op-by-op (12 vs 20
-        # sweeps/s), so warmup stays unfused (fused_accept_warmup=False:
-        # warmup 15.3 s + sample 14.2 s at probe scale — best of both).
-        kernel=KernelConfig(
-            algorithm="newton", fused_accept=True,
-            fused_accept_warmup=False,
-        ),
+        # vs 30.8 sweeps/s at 300/512 probe scale), and the warmup-phase
+        # Hessian-refresh kernel is equal-cost to op-by-op (in-process
+        # steady-state probe 2026-08-19: fused 13.32 s vs unfused 13.63 s
+        # per 300 warmup sweeps at C=1024/G=10k — the earlier "12 vs 20
+        # sweeps/s" reading that briefly set fused_accept_warmup=False
+        # here was axon per-program first-execution variance).
+        kernel=KernelConfig(algorithm="newton", fused_accept=True),
         # 800/2048: the converged schedule (worst all-param split R-hat
         # 1.0070, artifact ragged-10k-newton_443f0a1)
         run=RunConfig(
@@ -186,21 +206,6 @@ def _ragged_10k_mala(seed: int, scale: float):
     model = make_hier_logistic(data)
     return model, data, dataclasses.replace(
         cfg, kernel=dataclasses.replace(cfg.kernel, algorithm="mala")
-    )
-
-
-def _hier_logistic_100_newton(seed: int, scale: float):
-    """Config-2 variant: frozen-metric Newton-MH group blocks + conjugate
-    invgamma tau. BASELINE.json:8 pins 'MH-within-Gibbs', which Newton-MH
-    satisfies (it IS an MH block move, with a Laplace proposal); the base
-    preset keeps the round-2 adaptive-RW state, this variant is the
-    min-ESS-optimal option (the config-2 floor was beta[13,2] at
-    25.2k/s/chip under RW — a group-block mixing floor, exactly what
-    Newton attacks)."""
-    _, data, cfg = _hier_logistic_100(seed, scale)
-    model = make_hier_logistic(data, tau_prior="invgamma")
-    return model, data, dataclasses.replace(
-        cfg, kernel=dataclasses.replace(cfg.kernel, algorithm="newton")
     )
 
 
@@ -322,7 +327,9 @@ def _hier_logistic_1k_mala(seed: int, scale: float):
 PRESETS = {
     "eight-schools": _eight_schools,
     "hier-logistic-100": _hier_logistic_100,
-    "hier-logistic-100-newton": _hier_logistic_100_newton,
+    # back-compat alias: the newton variant IS the default since 2026-08-18
+    "hier-logistic-100-newton": _hier_logistic_100,
+    "hier-logistic-100-rw": _hier_logistic_100_rw,
     "hier-logistic-1k": _hier_logistic_1k,
     # back-compat alias: the newton variant IS the default since 2026-08-18
     "hier-logistic-1k-newton": _hier_logistic_1k,
