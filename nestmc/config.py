@@ -76,9 +76,11 @@ class RunConfig:
     draws: retained draws per chain.
     thin: sweeps per retained draw.
     segment_size: draws per jit-scan segment (checkpoint/log boundary).
-    collect: {block_name: None | k} — None collects the full block, k
-      collects the first k units of a grouped block; None (the default)
-      collects every block fully. Bound this for huge-G runs.
+    collect: {block_name: None | k | (i, j, ...)} — None collects the full
+      block, int k collects the first k units of a grouped block, a
+      tuple/list of ints collects exactly those unit indices (e.g. a
+      seeded random sample of groups for ESS-floor verification); None
+      (the default) collects every block fully. Bound this for huge-G runs.
     """
 
     chains: int = 64

@@ -50,7 +50,14 @@ def _collector(model: ModelSpec, cfg: SamplerConfig):
                 v = model.derived[name](position)
             else:
                 v = position[name]
-            out[name] = v if k is None else v[:, :k]
+            if k is None:
+                out[name] = v
+            elif isinstance(k, int):
+                out[name] = v[:, :k]
+            else:
+                # explicit unit indices (tuple/list) — e.g. a seeded random
+                # sample of groups for ESS-floor verification sweeps
+                out[name] = v[:, jnp.asarray(k, dtype=jnp.int32)]
         return out
 
     return collect

@@ -1,7 +1,11 @@
 """Multi-host (DCN) support.
 
-A v5e-8 slice is single-host, so nothing here is exercised in this
-container; the design keeps the chains-axis sharding DCN-compatible:
+A v5e-8 slice is single-host, so no real DCN fabric exists in this
+container — but the full multi-process path IS executed here:
+tests/test_multihost.py::test_two_process_distributed_sample runs 2
+`jax.distributed.initialize`'d processes x 4 forced CPU devices each and
+samples over the process-spanning 2x4 mesh (Gloo collectives standing in
+for DCN). The design keeps the chains-axis sharding DCN-compatible:
 
 - call :func:`initialize` once per process before any jax call;
 - build the mesh over ``jax.devices()`` (global across hosts) exactly as on

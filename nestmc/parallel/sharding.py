@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nestmc.config import SamplerConfig
@@ -151,10 +152,44 @@ def data_shardings(data, cfg: SamplerConfig, mesh: Mesh):
     return jax.tree_util.tree_map(lambda _: ns(), data)
 
 
+def _put_tree(tree, shardings):
+    """device_put a pytree onto its shardings; multi-process aware.
+
+    On a single-process mesh this is plain ``jax.device_put``. When the
+    mesh spans processes (jax.distributed), device_put rejects
+    non-addressable shardings — each process instead materializes its
+    host copy (every process computes identical full-size inputs from the
+    same seed) and contributes its addressable shards via
+    ``jax.make_array_from_callback``.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    slv = jax.tree_util.tree_flatten(shardings)[0]
+    out = []
+    for x, ns in zip(leaves, slv):
+        if ns is None or getattr(ns, "is_fully_addressable", True):
+            out.append(jax.device_put(x, ns))
+        elif jnp.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+            # typed PRNG keys can't round-trip through numpy directly;
+            # move the underlying uint32 words, then rewrap
+            raw = np.asarray(jax.random.key_data(x))
+            moved = jax.make_array_from_callback(
+                raw.shape, ns, lambda idx, a=raw: a[idx]
+            )
+            out.append(jax.random.wrap_key_data(
+                moved, impl=jax.random.key_impl(x)
+            ))
+        else:
+            arr = np.asarray(x)
+            out.append(jax.make_array_from_callback(
+                arr.shape, ns, lambda idx, a=arr: a[idx]
+            ))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def shard_inputs(state, data, model, cfg: SamplerConfig, mesh: Mesh):
     """device_put carry + data onto the mesh with their rule shardings."""
     if mesh is None:
         return state, data
-    state = jax.device_put(state, state_shardings(model, cfg, mesh))
-    data = jax.device_put(data, data_shardings(data, cfg, mesh))
+    state = _put_tree(state, state_shardings(model, cfg, mesh))
+    data = _put_tree(data, data_shardings(data, cfg, mesh))
     return state, data

@@ -121,6 +121,39 @@ def _hier_logistic_1k(seed: int, scale: float):
     return model, data, cfg
 
 
+def _judged(seed: int, scale: float):
+    """The EXACT bench.py configuration (VERDICT r3 item 6): byte-for-byte
+    the driver-judged headline run, so `python -m benchmarks.run --preset
+    judged` reproduces BENCH_r03-style artifacts with no overrides.
+
+    Differences from `hier-logistic-1k` (which keeps its own committed
+    artifacts reproducible): 1024 chains PER CHIP (bench chain-scan argmax,
+    2026-08-18), 1500/4096 schedule, and full_rhat streaming ON so the
+    <1.01 gate covers all 4,008 parameters. Data key, model (invgamma tau,
+    asis_repeats=1), kernel (frozen Newton + fused step), segment size and
+    collect spec match bench.py exactly at seed=0."""
+    data, _ = synth_logistic(
+        jax.random.key(seed + 2000), G=1000, n=50, p=4
+    )
+    model = make_hier_logistic(data, tau_prior="invgamma")
+    n_dev = len(jax.devices())
+    cfg = SamplerConfig(
+        kernel=KernelConfig(algorithm="newton", fused_accept=True),
+        run=RunConfig(
+            chains=(1024 * n_dev) if scale >= 1.0 else 8 * max(n_dev, 1),
+            warmup=max(50, int(1500 * scale)),
+            draws=max(50, int(4096 * scale)),
+            seed=seed,
+            segment_size=2048,
+            collect={"mu": None, "log_tau": None, "beta": 8},
+            full_rhat=True,
+            log_every_segment=False,
+        ),
+        sharding=ShardingConfig(chain_shards=max(n_dev, 1)),
+    )
+    return model, data, cfg
+
+
 def _nested_poisson_1k(seed: int, scale: float):
     """Config 3 (BASELINE.json:9): 3-level Poisson GLMM, 1k groups, 512 chains."""
     data, _ = synth_poisson3(
@@ -334,6 +367,8 @@ PRESETS = {
     # back-compat alias: the newton variant IS the default since 2026-08-18
     "hier-logistic-1k-newton": _hier_logistic_1k,
     "hier-logistic-1k-mala": _hier_logistic_1k_mala,
+    # byte-for-byte the bench.py judged headline (VERDICT r3 item 6)
+    "judged": _judged,
     "nested-poisson-1k": _nested_poisson_1k,
     "nested-poisson-1k-mala": _nested_poisson_1k_mala,
     "nested-poisson-1k-newton": _nested_poisson_1k_newton,

@@ -1,0 +1,69 @@
+"""One process of a REAL 2-process jax.distributed run (spawned by
+tests/test_multihost.py::test_two_process_distributed_sample).
+
+Each worker forces 4 CPU devices; after `multihost.initialize()` (driven
+entirely by the NESTMC_* env vars — the exact production path) the global
+topology is 2 processes x 4 devices = 8, and the sampler runs with the
+chains axis sharded over the PROCESS-SPANNING mesh, so the end-of-run
+moment reductions are genuine cross-process (DCN-analog) collectives.
+
+Prints one `MULTIHOST_RESULT {json}` line per process.
+"""
+
+import json
+import os
+import sys
+
+# invoked by script path: python puts tests/ on sys.path, not the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    from nestmc.parallel import multihost
+
+    multihost.initialize()  # reads NESTMC_COORDINATOR_ADDRESS / _NUM_PROCESSES / _PROCESS_ID
+
+    import jax
+    import jax.numpy as jnp
+
+    from nestmc.config import RunConfig, SamplerConfig, ShardingConfig
+    from nestmc.engine import sample
+    from nestmc.models import make_eight_schools
+
+    assert jax.process_count() == int(os.environ["NESTMC_NUM_PROCESSES"]), (
+        jax.process_count()
+    )
+    assert jax.local_device_count() == 4, jax.local_device_count()
+    assert jax.device_count() == 4 * jax.process_count(), jax.device_count()
+
+    model, data = make_eight_schools()
+    cfg = SamplerConfig(
+        run=RunConfig(
+            chains=8, warmup=40, draws=80, seed=7, segment_size=80,
+            log_every_segment=False,
+            collect={"mu": None, "log_tau": None},
+        ),
+        sharding=ShardingConfig(chain_shards=jax.device_count()),
+    )
+    post = sample(model, data, cfg)
+
+    # global reductions over the process-spanning chains axis; the results
+    # are fully replicated scalars, so float() is legal on every process
+    stats = jax.jit(
+        lambda a, b: {
+            "mu_mean": jnp.mean(a), "mu_var": jnp.var(a),
+            "log_tau_mean": jnp.mean(b), "log_tau_var": jnp.var(b),
+        }
+    )(post.draws["mu"], post.draws["log_tau"])
+    out = {k: float(v) for k, v in stats.items()}
+    out["process_index"] = jax.process_index()
+    out["process_count"] = jax.process_count()
+    out["device_count"] = jax.device_count()
+    out["local_device_count"] = jax.local_device_count()
+    out["is_primary"] = multihost.is_primary()
+    print("MULTIHOST_RESULT " + json.dumps(out), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,6 +35,27 @@ def test_collect_derived_subset(es):
     assert np.all(np.isfinite(np.asarray(post.draws["theta"])))
 
 
+def test_collect_explicit_indices(es):
+    """Tuple collect spec retains exactly those unit indices, in order."""
+    model, data = es
+    cfg = SamplerConfig(run=RunConfig(
+        chains=4, warmup=20, draws=30, log_every_segment=False, seed=3,
+        collect={"mu": None, "z": (5, 1, 6)},
+    ))
+    post = sample(model, data, cfg)
+    assert post.draws["z"].shape == (4, 30, 3)
+    # same run collecting everything: the indexed slices must match
+    cfg_all = SamplerConfig(run=RunConfig(
+        chains=4, warmup=20, draws=30, log_every_segment=False, seed=3,
+        collect={"mu": None, "z": None},
+    ))
+    post_all = sample(model, data, cfg_all)
+    np.testing.assert_array_equal(
+        np.asarray(post.draws["z"]),
+        np.asarray(post_all.draws["z"][:, :, [5, 1, 6]]),
+    )
+
+
 def test_default_collect_includes_derived(es):
     model, data = es
     cfg = SamplerConfig(run=RunConfig(
