@@ -139,6 +139,142 @@ def make_hier_glm(
         tau = jnp.exp(state["log_tau"])[:, None, :]
         return jnp.sum(logpdf_normal(state["beta"], mu, tau), axis=-1)
 
+    # ---- analytic likelihood derivatives (Newton-MH hooks, all five
+    # families; VERDICT r3 item 7). Per-obs score resid = dll/deta and
+    # curvature w = -d2ll/deta2 wrt the linear predictor give
+    # grad = X^T resid and packed -Hessian = sum_i w_i x_i x_i^T.
+    aux_free = aux is None  # binomial / bernoulli / poisson
+
+    def _family_terms(eta, d, aux_val, need_w: bool):
+        """(ll, resid[, w]) per obs, UNMASKED. aux_val: the (C,) aux block
+        value (log_sigma / log_r) or None for aux-free families."""
+        if gaussian:
+            lsig = aux_val[:, None, None]
+            inv_s2 = jnp.exp(-2.0 * lsig)
+            diff = d.y - eta
+            ll = -0.5 * (diff * diff * inv_s2 + _LOG_2PI) - lsig
+            resid = diff * inv_s2
+            w = jnp.broadcast_to(inv_s2, eta.shape)  # constant curvature
+        elif family == "poisson":
+            rate = jnp.exp(eta)
+            ll = d.y * eta - rate - gammaln(d.y + 1.0)
+            resid = d.y - rate
+            w = rate
+        elif negbin:
+            lr = aux_val[:, None, None]
+            r = jnp.exp(lr)
+            lrm = jnp.logaddexp(lr, eta)
+            # s = mu/(r+mu), t = r/(r+mu) from the SAME logaddexp
+            s = jnp.exp(eta - lrm)
+            t = jnp.exp(lr - lrm)
+            ll = (
+                gammaln(d.y + r) - gammaln(r) - gammaln(d.y + 1.0)
+                + r * (lr - lrm) + d.y * (eta - lrm)
+            )
+            resid = t * d.y - r * s          # = r (y - mu) / (r + mu)
+            w = (d.y + r) * t * s            # observed info, >= 0
+        else:  # binomial / bernoulli
+            trials, log_binom = _trials_binom(d)
+            sig = jax.nn.sigmoid(eta)
+            ll = d.y * eta - trials * jax.nn.softplus(eta) + log_binom
+            resid = d.y - trials * sig
+            w = trials * sig * (1.0 - sig)
+        if need_w:
+            return ll, resid, w
+        return ll, resid
+
+    def _lik_value_grad(value, d, aux_val):
+        eta = _eta(value, d)
+        ll, resid = _family_terms(eta, d, aux_val, need_w=False)
+        val = jnp.sum(ll * d.mask, axis=-1)
+        g = jnp.einsum(
+            "cgn,gnp->cgp", resid * d.mask, d.x,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return val, g
+
+    def _lik_vgh(value, d, aux_val):
+        from nestmc.ops.loglik import _xxt_packed
+
+        eta = _eta(value, d)
+        ll, resid, w = _family_terms(eta, d, aux_val, need_w=True)
+        val = jnp.sum(ll * d.mask, axis=-1)
+        g = jnp.einsum(
+            "cgn,gnp->cgp", resid * d.mask, d.x,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return val, g, _xxt_packed(d.x, w * d.mask)
+
+    def gprior_value_and_grad(value, state, d):
+        mu = state["mu"][:, None, :]
+        inv_tau2 = jnp.exp(-2.0 * state["log_tau"])[:, None, :]
+        diff = value - mu
+        gp_val = jnp.sum(
+            -0.5 * diff * diff * inv_tau2
+            + 0.5 * jnp.log(inv_tau2) - 0.9189385332046727,
+            axis=-1,
+        )
+        return gp_val, -diff * inv_tau2
+
+    def gprior_vgh(value, state, d):
+        from nestmc.ops.smallchol import pack_diag
+
+        gp_val, gp_grad = gprior_value_and_grad(value, state, d)
+        inv_tau2 = jnp.exp(-2.0 * state["log_tau"])      # (C, p)
+        return gp_val, gp_grad, pack_diag(inv_tau2, p)[:, None, :]
+
+    if aux_free:
+        # likelihood depends only on beta -> the standard cacheable split
+        # (self = data lik, rest = Gaussian prior), exactly as
+        # hier_logistic / nested_poisson.
+        def lik_self_v(value, d):
+            ll, _ = _family_terms(
+                _eta(value, d), d, None, need_w=False
+            )
+            return jnp.sum(ll * d.mask, axis=-1)
+
+        def lik_self_vg(value, d):
+            return _lik_value_grad(value, d, None)
+
+        def lik_self_vgh(value, d):
+            return _lik_vgh(value, d, None)
+
+        _cond_cached = {
+            "beta": (
+                lik_self_v,
+                lambda v, state, d: _gprior({**state, "beta": v}),
+            ),
+        }
+        _cond_cached_grad = {"beta": (lik_self_vg, gprior_value_and_grad)}
+        _cond_cached_newton = {"beta": (lik_self_vgh, gprior_vgh)}
+    else:
+        # gaussian / negbin: the likelihood READS the aux block
+        # (sigma / r), so a carried self-cache would go stale every time
+        # the aux block moves. Route the whole conditional through the
+        # position-aware REST part and keep the self part identically
+        # zero: Newton-MH works on these families at the honest cost of
+        # two obs passes per update (no carried pass to reuse), and
+        # KernelConfig.newton_freeze has nothing to freeze (the metric is
+        # recomputed exactly each call — still exact MH, just no speedup).
+        def _zero_self_vgh(value, d):
+            C, Gv = value.shape[0], value.shape[1]
+            T = p * (p + 1) // 2
+            z = jnp.zeros((C, Gv), value.dtype)
+            return z, jnp.zeros_like(value), jnp.zeros(
+                (C, Gv, T), value.dtype
+            )
+
+        def _full_rest_vgh(value, state, d):
+            lv, lg, lh = _lik_vgh(value, d, state[aux])
+            pv, pg, ph = gprior_vgh(value, state, d)
+            return lv + pv, lg + pg, lh + ph
+
+        _cond_cached = {}
+        _cond_cached_grad = {}
+        _cond_cached_newton = {"beta": (_zero_self_vgh, _full_rest_vgh)}
+
     def _suff(beta):
         return jnp.sum(beta, axis=1), jnp.sum(beta**2, axis=1)
 
@@ -200,6 +336,53 @@ def make_hier_glm(
             st[aux] = 0.2 * jax.random.normal(ks[3], (chains,))
         return st
 
+    def prior_sample(key, data_, chains):
+        """Exact prior draws (Geweke/SBC calibration + predictive checks)."""
+        ks = jax.random.split(key, 5)
+        mu = prior_mu_scale * jax.random.normal(ks[0], (chains, p))
+        if conj_tau:
+            g = jax.random.gamma(ks[1], tau_ig_shape, (chains, p))
+            tau = jnp.sqrt(tau_ig_scale / g)
+        else:
+            tau = prior_tau_scale * jnp.abs(
+                jax.random.normal(ks[1], (chains, p))
+            )
+        beta = mu[:, None, :] + tau[:, None, :] * jax.random.normal(
+            ks[2], (chains, G, p)
+        )
+        st = {"beta": beta, "mu": mu, "log_tau": jnp.log(tau)}
+        if aux is not None:
+            st[aux] = jnp.log(prior_sigma_scale * jnp.abs(
+                jax.random.normal(ks[3], (chains,))
+            ))
+        return st
+
+    def sample_data(key, state, data_):
+        """y ~ family(eta) at the FIRST chain's parameters (posterior-
+        predictive convention of the benchmark models)."""
+        import dataclasses
+
+        eta = jnp.einsum("gnp,gp->gn", data_.x, state["beta"][0])
+        if gaussian:
+            sigma = jnp.exp(state["log_sigma"][0])
+            y = eta + sigma * jax.random.normal(key, eta.shape)
+        elif family == "poisson":
+            y = jax.random.poisson(key, jnp.exp(eta)).astype(data_.y.dtype)
+        elif negbin:
+            r = jnp.exp(state["log_r"][0])
+            k1, k2 = jax.random.split(key)
+            lam = jnp.exp(eta) / r * jax.random.gamma(k1, r, eta.shape)
+            y = jax.random.poisson(k2, lam).astype(data_.y.dtype)
+        else:
+            trials = (
+                data_.extra["trials"] if family == "binomial"
+                else jnp.ones_like(data_.y)
+            )
+            y = jax.random.binomial(
+                key, trials, jax.nn.sigmoid(eta)
+            ).astype(data_.y.dtype)
+        return dataclasses.replace(data_, y=y * data_.mask)
+
     def gibbs_mu(key, state, data_):
         s1, _ = _suff(state["beta"])
         inv_tau2 = jnp.exp(-2.0 * state["log_tau"])
@@ -220,17 +403,57 @@ def make_hier_glm(
         g = jax.random.gamma(key, a, shape=quad.shape, dtype=quad.dtype)
         return jnp.clip(0.5 * (jnp.log(b) - jnp.log(g)), -12.0, 12.0)
 
-    def asis_tau_move(key, position, cache, scale, data_):
+    def asis_tau_move(key, position, cache, scale, data_, frozen=False):
+        """RW interweaving move on (tau, beta) with z fixed. When a carried
+        beta cache is live (aux-free families under rwmh/mala/newton) the
+        rescale invalidates it, so the move refreshes it through the
+        declared SELF hook of whichever cache kind is carried — an
+        accepted move must never leave a stale cache behind (the same
+        discipline as hier_logistic / nested_poisson's interweaves).
+        frozen (KernelConfig.newton_freeze sampling phase): the carried
+        Hessian is a constant metric — the refresh drops to value+grad and
+        h passes through untouched."""
         k1, k2 = jax.random.split(key)
         beta, mu, lt = position["beta"], position["mu"], position["log_tau"]
         C = lt.shape[0]
         lt_new = lt + scale * jax.random.normal(k1, lt.shape, lt.dtype)
         ratio = jnp.exp(lt_new - lt)[:, None, :]
         beta_new = mu[:, None, :] + (beta - mu[:, None, :]) * ratio
-        lik_old = jnp.sum(_lik(position, data_), axis=-1)
-        lik_new = jnp.sum(
-            _lik({**position, "beta": beta_new}, data_), axis=-1
-        )
+        beta_cache = cache.get("beta")
+        newton_cache = isinstance(beta_cache, dict) and "h" in beta_cache
+        grad_cache = isinstance(beta_cache, dict) and not newton_cache
+        if newton_cache:
+            lik_old_pg = beta_cache["v"]
+            if frozen:
+                # constant metric: refresh only (v, g); h passes through
+                if aux_free:
+                    v_new, g_new = _lik_value_grad(beta_new, data_, None)
+                else:
+                    v_new = jnp.zeros_like(beta_cache["v"])
+                    g_new = jnp.zeros_like(beta_cache["g"])
+                h_new = beta_cache["h"]
+            else:
+                v_new, g_new, h_new = _cond_cached_newton["beta"][0](
+                    beta_new, data_
+                )
+            lik_new_pg = v_new
+            if not aux_free:
+                # zero-self split: per-group liks come from the full model
+                lik_old_pg = _lik(position, data_)
+                lik_new_pg = _lik({**position, "beta": beta_new}, data_)
+        elif grad_cache:
+            self_vg = _cond_cached_grad["beta"][0]
+            lik_old_pg = beta_cache["v"]
+            lik_new_pg, g_new = self_vg(beta_new, data_)
+        elif beta_cache is not None:
+            self_v = _cond_cached["beta"][0]
+            lik_old_pg = beta_cache
+            lik_new_pg = self_v(beta_new, data_)
+        else:
+            lik_old_pg = _lik(position, data_)
+            lik_new_pg = _lik({**position, "beta": beta_new}, data_)
+        lik_old = jnp.sum(lik_old_pg, axis=-1)
+        lik_new = jnp.sum(lik_new_pg, axis=-1)
         prior_delta = jnp.sum(
             _tau_logprior(lt_new) + log_scale_guard(lt_new)
             - _tau_logprior(lt), axis=-1,
@@ -240,15 +463,36 @@ def make_hier_glm(
             k2, (C,), lt.dtype, minval=jnp.finfo(lt.dtype).tiny
         ))
         accept = logu < log_alpha
+        acc3 = accept[:, None, None]
         pos_up = {
-            "beta": jnp.where(accept[:, None, None], beta_new, beta),
+            "beta": jnp.where(acc3, beta_new, beta),
             "log_tau": jnp.where(accept[:, None], lt_new, lt),
         }
+        cache_up = {}
+        if newton_cache:
+            cache_up["beta"] = {
+                "v": jnp.where(accept[:, None], v_new, beta_cache["v"]),
+                "g": jnp.where(acc3, g_new, beta_cache["g"]),
+                # frozen: constant metric passes through (no select/write)
+                "h": beta_cache["h"] if frozen
+                else jnp.where(acc3, h_new, beta_cache["h"]),
+            }
+        elif grad_cache:
+            cache_up["beta"] = {
+                "v": jnp.where(
+                    accept[:, None], lik_new_pg, beta_cache["v"]
+                ),
+                "g": jnp.where(acc3, g_new, beta_cache["g"]),
+            }
+        elif beta_cache is not None:
+            cache_up["beta"] = jnp.where(
+                accept[:, None], lik_new_pg, beta_cache
+            )
         alpha = jnp.where(
             jnp.isnan(log_alpha), 0.0,
             jnp.exp(jnp.minimum(log_alpha, 0.0)),
         )
-        return pos_up, {}, alpha
+        return pos_up, cache_up, alpha
 
     blocks = [
         Block("beta", (G, p), units=G, init_scale=0.3),
@@ -265,6 +509,18 @@ def make_hier_glm(
         cond_logdensity=cond,
         joint_logdensity=joint,
         init_state=init_state,
+        # carried-likelihood caches (aux-free families) + analytic Newton
+        # hooks for ALL five families (VERDICT r3 item 7): curvatures are
+        # gaussian 1/sigma^2, binomial m s(1-s), poisson exp(eta), negbin
+        # r mu (y+r)/(r+mu)^2 — each validated against autodiff
+        # (tests/test_hier_glm_newton.py). algorithm='newton' now runs the
+        # Laplace-proposal kernel on the generic surface instead of
+        # silently falling back to MALA.
+        cond_cached=_cond_cached,
+        cond_cached_grad=_cond_cached_grad,
+        cond_cached_newton=_cond_cached_newton,
+        prior_sample=prior_sample,
+        sample_data=sample_data,
         gibbs_draws={
             "mu": gibbs_mu,
             **({"log_tau": gibbs_log_tau} if conj_tau else {}),
@@ -300,6 +556,10 @@ def synth_glm(
         m = jnp.full((G, n), float(trials))
         y = jax.random.binomial(ks[4], m, jax.nn.sigmoid(eta))
         extra["trials"] = m
+    elif family == "bernoulli":
+        y = jax.random.bernoulli(
+            ks[4], jax.nn.sigmoid(eta)
+        ).astype(jnp.float32)
     elif family == "poisson":
         y = jax.random.poisson(ks[4], jnp.exp(eta)).astype(jnp.float32)
     elif family == "negbin":

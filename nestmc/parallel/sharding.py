@@ -78,11 +78,19 @@ def state_shardings(model, cfg: SamplerConfig, mesh: Mesh):
             ns("chains", "groups") if gsh else ns("chains")
         )
         algorithm = b.algorithm or cfg.kernel.algorithm
+        if (
+            algorithm == "newton"
+            and b.name not in model.cond_cached_newton
+        ):
+            algorithm = "mala"  # same fallback as kernels/state.py
         cu_spec = ns("chains", "groups") if gsh else ns("chains")
         if b.name in model.cond_cached and algorithm == "rwmh":
             cache[b.name] = cu_spec
         elif b.name in model.cond_cached_grad and algorithm == "mala":
             cache[b.name] = {"v": cu_spec, "g": val}
+        elif b.name in model.cond_cached_newton and algorithm == "newton":
+            # v (C,U), g value-shaped, h (C,U,T): same leading-axis specs
+            cache[b.name] = {"v": cu_spec, "g": val, "h": val}
         else:
             cache[b.name] = None
         if cfg.kernel.precond == "full" and b.unit_dim > 1:
@@ -152,44 +160,46 @@ def data_shardings(data, cfg: SamplerConfig, mesh: Mesh):
     return jax.tree_util.tree_map(lambda _: ns(), data)
 
 
-def _put_tree(tree, shardings):
-    """device_put a pytree onto its shardings; multi-process aware.
+def _put_multiprocess(tree, shardings):
+    """device_put a pytree onto PROCESS-SPANNING shardings.
 
-    On a single-process mesh this is plain ``jax.device_put``. When the
-    mesh spans processes (jax.distributed), device_put rejects
-    non-addressable shardings — each process instead materializes its
-    host copy (every process computes identical full-size inputs from the
-    same seed) and contributes its addressable shards via
-    ``jax.make_array_from_callback``.
+    jax.device_put rejects non-addressable shardings, so each process
+    materializes its host copy (every process computes identical full-size
+    inputs from the same seed) and contributes its addressable shards via
+    ``jax.make_array_from_callback``. Mapped shardings-first so a None
+    shardings leaf covers a whole state subtree (device_put semantics).
     """
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    slv = jax.tree_util.tree_flatten(shardings)[0]
-    out = []
-    for x, ns in zip(leaves, slv):
-        if ns is None or getattr(ns, "is_fully_addressable", True):
-            out.append(jax.device_put(x, ns))
-        elif jnp.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+    def put(ns, x):
+        if x is None:
+            return None
+        if ns is None:
+            return jax.device_put(x)
+        if jnp.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
             # typed PRNG keys can't round-trip through numpy directly;
             # move the underlying uint32 words, then rewrap
             raw = np.asarray(jax.random.key_data(x))
             moved = jax.make_array_from_callback(
                 raw.shape, ns, lambda idx, a=raw: a[idx]
             )
-            out.append(jax.random.wrap_key_data(
+            return jax.random.wrap_key_data(
                 moved, impl=jax.random.key_impl(x)
-            ))
-        else:
-            arr = np.asarray(x)
-            out.append(jax.make_array_from_callback(
-                arr.shape, ns, lambda idx, a=arr: a[idx]
-            ))
-    return jax.tree_util.tree_unflatten(treedef, out)
+            )
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, ns, lambda idx, a=arr: a[idx]
+        )
+
+    return jax.tree_util.tree_map(
+        put, shardings, tree, is_leaf=lambda n: n is None
+    )
 
 
 def shard_inputs(state, data, model, cfg: SamplerConfig, mesh: Mesh):
     """device_put carry + data onto the mesh with their rule shardings."""
     if mesh is None:
         return state, data
-    state = _put_tree(state, state_shardings(model, cfg, mesh))
-    data = _put_tree(data, data_shardings(data, cfg, mesh))
-    return state, data
+    ssh = state_shardings(model, cfg, mesh)
+    dsh = data_shardings(data, cfg, mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(state, ssh), jax.device_put(data, dsh)
+    return _put_multiprocess(state, ssh), _put_multiprocess(data, dsh)
