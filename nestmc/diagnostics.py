@@ -240,6 +240,89 @@ def streaming_rhat_update(acc: dict, position: dict, idx, half_len: int):
     return out
 
 
+# ---- kernel-layout (fold) variants -----------------------------------
+#
+# The fused step kernels can fold the Welford update of a block's
+# accumulators into the SAME Pallas pass that reads the position
+# (VERDICT r3 item 5): the separate O(params) read-modify-write per draw
+# disappears into a kernel that is transcendental-bound at ~3% HBM
+# utilization. Kernel-layout accumulators put the half axis FIRST and
+# chains MINOR — (2, *unit_dims, C) — matching the (G, p, C) tile layout
+# the step kernels stream, and BOTH halves are updated every draw with
+# per-half active flags (identity update for the inactive half; 2x the
+# minimal welford traffic, free under the kernel's compute bound, and it
+# needs no dynamic slicing or aliasing).
+
+def fold_rhat_init(position: dict, names) -> dict:
+    """Kernel-layout accumulators for the named position leaves."""
+    out = {}
+    for name in names:
+        x = position[name]
+        shape = (2,) + x.shape[1:] + (x.shape[0],)
+        out[name] = (
+            jnp.zeros((2,), jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+        )
+    return out
+
+
+def fold_rhat_scalars(count, jm1, half_len: int):
+    """(2, 2) f32 [[cnt_new_0, active_0], [cnt_new_1, active_1]] for
+    folding retained draw ``jm1`` (-1 = nothing pending).
+
+    Draws [0, half_len) belong to half 0, [half_len, 2*half_len) to half
+    1, the odd leftover is dropped — :func:`split_rhat`'s convention.
+    cnt_new is clamped >= 1 so the kernel's division is always safe.
+    """
+    h = jnp.where(jm1 < half_len, 0, 1)
+    act = ((jm1 >= 0) & (jm1 < 2 * half_len)).astype(jnp.float32)
+    act_h = jnp.stack([
+        act * (h == 0).astype(jnp.float32),
+        act * (h == 1).astype(jnp.float32),
+    ])
+    cnt_new = jnp.maximum(count + act_h, 1.0)
+    return jnp.stack([cnt_new, act_h], axis=-1)            # (2, 2)
+
+
+def fold_rhat_update(mean, m2, x_t, scalars):
+    """jnp reference of the in-kernel both-halves Welford fold.
+
+    mean/m2: (2, *dims, C) kernel-layout accumulators; x_t: (*dims, C)
+    transposed position; scalars: (2, 2) from :func:`fold_rhat_scalars`.
+    Used by the engine's final-draw flush, by sweeps whose block update
+    is not running the fused kernel (CPU tests), and as the parity
+    reference for the kernel implementation.
+    """
+    nd = mean.ndim - 1
+    cnt = scalars[:, 0].reshape((2,) + (1,) * nd)
+    act = scalars[:, 1].reshape((2,) + (1,) * nd)
+    delta = x_t[None] - mean
+    new_mean = mean + act * delta / cnt
+    new_m2 = m2 + act * delta * (x_t[None] - new_mean)
+    return new_mean, new_m2
+
+
+def fold_rhat_finalize(acc: dict) -> dict:
+    """{name: split R-hat} from kernel-layout accumulators."""
+    out = {}
+    for name, (count, mean, m2) in acc.items():
+        n = jnp.maximum(count[0], 2.0)
+        # (2, *dims, C) -> (2, C, *dims) -> (2C, *dims) sequences
+        mean_hc = jnp.moveaxis(mean, -1, 1)
+        m2_hc = jnp.moveaxis(m2, -1, 1)
+        seq_mean = mean_hc.reshape((-1,) + mean_hc.shape[2:])
+        cnt = count.reshape((2,) + (1,) * (mean_hc.ndim - 1))
+        seq_var = (m2_hc / jnp.maximum(cnt - 1.0, 1.0)).reshape(
+            seq_mean.shape
+        )
+        w = jnp.mean(seq_var, axis=0)
+        b = n * jnp.var(seq_mean, axis=0, ddof=1)
+        var_plus = (n - 1.0) / n * w + b / n
+        out[name] = jnp.sqrt(var_plus / jnp.where(w > 0, w, 1.0))
+    return out
+
+
 def streaming_rhat_finalize(acc: dict, chain_axes: dict | None = None) -> dict:
     """{name: split R-hat array over the block's non-chain dims}.
 

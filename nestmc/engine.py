@@ -112,10 +112,23 @@ def build_step_fns(model: ModelSpec, cfg: SamplerConfig, data=None):
 
     # full_rhat variant: thread streaming split-R-hat Welford accumulators
     # (over the FULL position pytree) through the scan alongside the carry.
-    from nestmc.diagnostics import streaming_rhat_update
+    # Blocks whose fused step can fold the Welford update in-kernel
+    # (gibbs.rhat_fold_names; VERDICT r3 item 5) use kernel-layout
+    # accumulators updated INSIDE the sweep with the pre-sweep value —
+    # i.e. retained draw j's fold happens at the start of sweep j+1, where
+    # the step kernel reads beta anyway, so the separate O(params) HBM
+    # read-modify-write pass per draw disappears (the engine flushes the
+    # final draw after the last segment). Everything else stays on the
+    # post-sweep jnp path.
+    from nestmc.diagnostics import (
+        fold_rhat_scalars,
+        streaming_rhat_update,
+    )
+    from nestmc.kernels.gibbs import rhat_fold_names
 
     rthin = max(1, cfg.run.full_rhat_thin)
     half_len = (cfg.run.draws // rthin) // 2
+    fold_names = rhat_fold_names(model, cfg) if rthin == 1 else ()
     donate_full = (0, 1) if cfg.sharding.donate_carry else ()
 
     @partial(jax.jit, static_argnames=("length",),
@@ -123,32 +136,53 @@ def build_step_fns(model: ModelSpec, cfg: SamplerConfig, data=None):
     def sample_segment_rhat(carry: KernelState, acc, data, offset,
                             length: int):
         def one_draw(ca, i):
-            c, a = ca
-            c = advance(c, data)
+            c, sa, fa = ca
             j = offset + i
+            if fold_names:
+                # fold retained draw j-1 (nothing pending at j == 0)
+                scs = {
+                    n: fold_rhat_scalars(fa[n][0], j - 1, half_len)
+                    for n in fold_names
+                }
+                folds = {
+                    n: (fa[n][1], fa[n][2], scs[n]) for n in fold_names
+                }
+                c, fout = sweep(c, data, adapt=False, rhat_fold=folds)
+                if thin > 1:
+                    c = jax.lax.fori_loop(
+                        0, thin - 1,
+                        lambda _, s: sweep(s, data, adapt=False), c,
+                    )
+                fa = {
+                    n: (fa[n][0] + scs[n][:, 1], fout[n][0], fout[n][1])
+                    for n in fold_names
+                }
+            else:
+                c = advance(c, data)
             if rthin == 1:
-                a = streaming_rhat_update(a, c.position, j, half_len)
+                sa = streaming_rhat_update(sa, c.position, j, half_len)
             else:
                 # thinned streaming: only every rthin-th retained draw
                 # touches the accumulators (lax.cond skips the whole
                 # read-modify-write pass on gated-off draws)
-                a = jax.lax.cond(
+                sa = jax.lax.cond(
                     j % rthin == 0,
                     lambda a_: streaming_rhat_update(
                         a_, c.position, j // rthin, half_len
                     ),
                     lambda a_: a_,
-                    a,
+                    sa,
                 )
-            return (c, a), collect(c.position)
+            return (c, sa, fa), collect(c.position)
 
-        (carry, acc), draws = jax.lax.scan(
-            one_draw, (carry, acc), jnp.arange(length)
+        std_a, fold_a = acc
+        (carry, std_a, fold_a), draws = jax.lax.scan(
+            one_draw, (carry, std_a, fold_a), jnp.arange(length)
         )
         draws = jax.tree_util.tree_map(
             lambda a: jnp.swapaxes(a, 0, 1), draws
         )
-        return carry, acc, draws
+        return carry, (std_a, fold_a), draws
 
     return warmup_segment, sample_segment_rhat
 
@@ -259,12 +293,24 @@ def sample(
         # reported rates stay in [0, 1].
         state = _reset_accept(state)
     acc = None
+    fold_names = ()
     if rc.full_rhat and rc.draws > 0:
-        from nestmc.diagnostics import streaming_rhat_init
+        from nestmc.diagnostics import fold_rhat_init, streaming_rhat_init
+        from nestmc.kernels.gibbs import rhat_fold_names
 
+        if max(1, rc.full_rhat_thin) == 1:
+            fold_names = rhat_fold_names(model, cfg)
         # build inside jit from the sharded position so the accumulators
         # inherit the chain-axis sharding
-        acc = jax.jit(streaming_rhat_init)(state.position)
+        std_pos = {
+            k: v for k, v in state.position.items() if k not in fold_names
+        }
+        acc = (
+            jax.jit(streaming_rhat_init)(std_pos),
+            jax.jit(partial(fold_rhat_init, names=fold_names))(
+                state.position
+            ),
+        )
 
     def _run_segment(state, acc, L, offset):
         if acc is None:
@@ -331,9 +377,38 @@ def sample(
 
     full_rhat_map = None
     if acc is not None:
-        from nestmc.diagnostics import streaming_rhat_finalize
+        from nestmc.diagnostics import (
+            fold_rhat_finalize,
+            fold_rhat_scalars,
+            fold_rhat_update,
+            streaming_rhat_finalize,
+        )
 
-        full_rhat_map = jax.jit(streaming_rhat_finalize)(acc)
+        std_a, fold_a = acc
+        if fold_a:
+            # the in-sweep fold lags one draw: flush the final retained
+            # draw (the current position) into the fold accumulators
+            half_len = rc.draws // 2
+
+            @jax.jit
+            def _flush(fa, position):
+                out = {}
+                for n, (count, mean, m2) in fa.items():
+                    sc = fold_rhat_scalars(
+                        count, jnp.int32(rc.draws - 1), half_len
+                    )
+                    nm, nm2 = fold_rhat_update(
+                        mean, m2, jnp.moveaxis(position[n], 0, -1), sc
+                    )
+                    out[n] = (count + sc[:, 1], nm, nm2)
+                return out
+
+            fold_a = _flush(fold_a, state.position)
+        full_rhat_map = jax.jit(
+            lambda s, f: {
+                **streaming_rhat_finalize(s), **fold_rhat_finalize(f)
+            }
+        )(std_a, fold_a)
 
     total_sample_sweeps = rc.draws * max(1, rc.thin)
     post = Posterior(

@@ -67,6 +67,34 @@ def joint_move_target(model: ModelSpec, mname: str,
     return float(t)
 
 
+def rhat_fold_names(model: ModelSpec, cfg: SamplerConfig) -> tuple:
+    """Blocks whose streaming-R-hat Welford update the sweep can fold —
+    any non-Gibbs block whose resolved fused update hook accepts an
+    ``rhat_fold`` kwarg (the hook folds in-kernel when the fused path is
+    live, and the sweep folds with the jnp reference otherwise, so the
+    engine may rely on the fold happening either way)."""
+    import inspect
+
+    out = []
+    for b in model.blocks:
+        if b.name in model.gibbs_draws:
+            continue
+        algorithm = b.algorithm or cfg.kernel.algorithm
+        if algorithm == "newton" and b.name not in model.cond_cached_newton:
+            algorithm = "mala"
+        table = {
+            "rwmh": model.fused_updates,
+            "mala": model.fused_updates_mala,
+            "newton": model.fused_updates_newton,
+        }[algorithm]
+        hook = table.get(b.name)
+        if hook is not None and (
+            "rhat_fold" in inspect.signature(hook).parameters
+        ):
+            out.append(b.name)
+    return tuple(out)
+
+
 def block_target_accept(block, algorithm: str, cfg: SamplerConfig) -> float:
     if block.target_accept is not None:
         return block.target_accept
@@ -93,8 +121,28 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
         mname: "frozen" in inspect.signature(move).parameters
         for mname, move in model.joint_moves.items()
     }
+    _hook_takes_fold = {
+        name: "rhat_fold" in inspect.signature(hook).parameters
+        for table in (model.fused_updates, model.fused_updates_mala,
+                      model.fused_updates_newton)
+        for name, hook in table.items()
+    }
 
-    def sweep(state: KernelState, data, adapt: bool) -> KernelState:
+    def sweep(state: KernelState, data, adapt: bool, rhat_fold=None):
+        """rhat_fold: optional {block: (mean, m2, scalars)} kernel-layout
+        streaming-R-hat accumulators (diagnostics.fold_rhat_*) to fold
+        with each block's PRE-update value (= the previous retained
+        draw); when given the return becomes (state, {block: (mean',
+        m2')}). Folded in-kernel by fused hooks that support it, by the
+        jnp reference otherwise."""
+        fold_out = {}
+        return_state = _sweep(state, data, adapt, rhat_fold or {}, fold_out)
+        if rhat_fold is None:
+            return return_state
+        return return_state, fold_out
+
+    def _sweep(state: KernelState, data, adapt: bool, rhat_fold,
+               fold_out) -> KernelState:
         # Frozen-metric Newton (KernelConfig.newton_freeze): the sampling
         # program (adapt=False) treats the carried likelihood Hessian as a
         # CONSTANT metric — obs passes compute only (value, grad), the
@@ -146,6 +194,20 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
             )
             update = _UPDATES[algorithm]
 
+            fold_args = rhat_fold.get(name)
+            if fold_args is not None and not (
+                use_fused and _hook_takes_fold.get(name, False)
+            ):
+                # no in-kernel path this trace: fold the pre-update value
+                # with the jnp reference so the engine's accumulators
+                # advance identically either way
+                from nestmc.diagnostics import fold_rhat_update
+
+                fold_out[name] = fold_rhat_update(
+                    fold_args[0], fold_args[1],
+                    jnp.moveaxis(position[name], 0, -1), fold_args[2],
+                )
+                fold_args = None
             alphas = []
             for r in range(max(1, block.repeats)):
                 kr = jax.random.fold_in(kb, r)
@@ -153,9 +215,18 @@ def make_sweep(model: ModelSpec, cfg: SamplerConfig):
                     {"frozen": frozen} if algorithm == "newton" else {}
                 )
                 if use_fused:
-                    new_value, new_cache, alpha = fused_table[name](
-                        kr, position, cache, log_scale[name], data, **kw
-                    )
+                    if fold_args is not None and r == 0:
+                        out = fused_table[name](
+                            kr, position, cache, log_scale[name], data,
+                            rhat_fold=fold_args, **kw
+                        )
+                        new_value, new_cache, alpha = out[:3]
+                        fold_out[name] = out[3]
+                    else:
+                        new_value, new_cache, alpha = fused_table[name](
+                            kr, position, cache, log_scale[name], data,
+                            **kw
+                        )
                 else:
                     new_value, alpha, new_cache = update(
                         kr, block, model, position,

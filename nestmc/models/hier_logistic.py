@@ -380,11 +380,23 @@ def make_hier_logistic(
             data.x, data.y, data.mask,
         )
 
-    def fused_mala_beta_update(key, position, cache, log_scale, data):
+    def _jnp_fold(rhat_fold, beta):
+        from nestmc.diagnostics import fold_rhat_update
+
+        return fold_rhat_update(
+            rhat_fold[0], rhat_fold[1],
+            jnp.transpose(beta, (1, 2, 0)), rhat_fold[2],
+        )
+
+    def fused_mala_beta_update(key, position, cache, log_scale, data,
+                               rhat_fold=None):
         """Single-kernel MALA update of beta (ops/pallas/mala_accept.py):
         propose+logp+grad+correct+accept+select in one pass. Ragged data
         runs the same kernel once per size bucket
-        (ops/bucket.py::bucketed_fused_mala_step)."""
+        (ops/bucket.py::bucketed_fused_mala_step). rhat_fold: streaming-
+        R-hat accumulators folded with the pre-update beta in the SAME
+        kernel (jnp reference on the bucketed path); appends the updated
+        (mean, m2) to the return."""
         c = cache.get("beta")
         if isinstance(c, dict):
             v, g = c["v"], c["g"]
@@ -398,18 +410,26 @@ def make_hier_logistic(
                 position["mu"], position["log_tau"],
                 data.x, data.y, seg_layout,
             )
+            if rhat_fold is not None:
+                return nb, {"v": nv, "g": ng}, alpha, _jnp_fold(
+                    rhat_fold, position["beta"]
+                )
             return nb, {"v": nv, "g": ng}, alpha
         from nestmc.ops.pallas.mala_accept import fused_mala_logistic_step
 
-        nb, nv, ng, alpha = fused_mala_logistic_step(
+        out = fused_mala_logistic_step(
             key, position["beta"], v, g, log_scale,
             position["mu"], position["log_tau"],
             data.x, data.y, data.mask, dense=_dense_data,
+            rhat_fold=rhat_fold,
         )
+        nb, nv, ng, alpha = out[:4]
+        if rhat_fold is not None:
+            return nb, {"v": nv, "g": ng}, alpha, (out[4], out[5])
         return nb, {"v": nv, "g": ng}, alpha
 
     def fused_newton_beta_update(key, position, cache, log_scale, data,
-                                 frozen=False):
+                                 frozen=False, rhat_fold=None):
         """Single-kernel Newton-MH update of beta
         (ops/pallas/newton_accept.py): Laplace propose + logp+grad+Hess obs
         pass + full correction + accept + select in one pass. frozen: the
@@ -430,16 +450,24 @@ def make_hier_logistic(
                 position["mu"], position["log_tau"],
                 data.x, data.y, seg_layout, frozen=frozen,
             )
+            if rhat_fold is not None:
+                return nb, {"v": nv, "g": ng, "h": nh}, alpha, _jnp_fold(
+                    rhat_fold, position["beta"]
+                )
             return nb, {"v": nv, "g": ng, "h": nh}, alpha
         from nestmc.ops.pallas.newton_accept import (
             fused_newton_logistic_step,
         )
 
-        nb, nv, ng, nh, alpha = fused_newton_logistic_step(
+        out = fused_newton_logistic_step(
             key, position["beta"], v, g, h, log_scale,
             position["mu"], position["log_tau"],
             data.x, data.y, data.mask, dense=_dense_data, frozen=frozen,
+            rhat_fold=rhat_fold,
         )
+        nb, nv, ng, nh, alpha = out[:5]
+        if rhat_fold is not None:
+            return nb, {"v": nv, "g": ng, "h": nh}, alpha, (out[5], out[6])
         return nb, {"v": nv, "g": ng, "h": nh}, alpha
 
     def asis_tau_move(key, position, cache, scale, data, frozen=False):

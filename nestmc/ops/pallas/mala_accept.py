@@ -44,7 +44,21 @@ from nestmc.ops.pallas.loglik_logistic import (
 from nestmc.ops.pallas.mh_accept import _normal, _seed_words, _uniform_01
 
 
-def _make_fused_mala_kernel(p: int, external_noise: bool, dense: bool = False):
+def _fold_tile(G: int, tg: int) -> int | None:
+    """Largest multiple-of-8 group tile that DIVIDES G and fits the
+    budget tile ``tg`` — the in-kernel R-hat fold streams (2, TG, p, TC)
+    accumulator blocks whose group axis must not be padded (padding would
+    desynchronize the accumulator from its (2, G, p, C) storage)."""
+    t = (min(tg, G) // 8) * 8
+    while t >= 8:
+        if G % t == 0:
+            return t
+        t -= 8
+    return None
+
+
+def _make_fused_mala_kernel(p: int, external_noise: bool, dense: bool = False,
+                            fold: bool = False):
   """external_noise: eps/log-u arrive as operands instead of the on-core
   PRNG — the testing path (CPU interpret mode has no prng_seed lowering),
   and it makes the kernel EXACTLY reproduce the unfused update given the
@@ -59,11 +73,20 @@ def _make_fused_mala_kernel(p: int, external_noise: bool, dense: bool = False):
     mu_ref, itau2_ref,            # (p, TC) chains-minor hyper state
     *rest,                        # [eps_ref, logu_ref,] outputs
   ):
+    # operand order: [eps, logu]? [fsc, fmean, fm2]? then outputs
+    # [beta, v, g, alpha] [fmean', fm2']?
+    rest = list(rest)
+    if fold:
+        out_fmean_ref, out_fm2_ref = rest[-2:]
+        rest = rest[:-2]
     if external_noise:
-        eps_ref, logu_ref, out_beta_ref, out_v_ref, out_g_ref, \
-            out_alpha_ref = rest
-    else:
-        out_beta_ref, out_v_ref, out_g_ref, out_alpha_ref = rest
+        eps_ref, logu_ref = rest[:2]
+        rest = rest[2:]
+    if fold:
+        fsc_ref, fmean_ref, fm2_ref = rest[:3]
+        rest = rest[3:]
+    out_beta_ref, out_v_ref, out_g_ref, out_alpha_ref = rest
+    if not external_noise:
         pltpu.prng_seed(
             seed_ref[0, 0]
             + pl.program_id(0) * jnp.int32(1000003)
@@ -71,6 +94,19 @@ def _make_fused_mala_kernel(p: int, external_noise: bool, dense: bool = False):
         )
     mix = seed_ref[0, 1]
     beta = beta_ref[:]                                    # (TG, p, TC)
+    if fold:
+        # streaming split-R-hat Welford fold (VERDICT r3 item 5): update
+        # BOTH halves' accumulators with the INPUT beta (= the previous
+        # retained draw's final value) in the same pass — per-half active
+        # flags make the inactive half an identity update
+        for h in range(2):
+            cnt = fsc_ref[h, 0]
+            act = fsc_ref[h, 1]
+            mean_h = fmean_ref[h]
+            delta = beta - mean_h
+            new_mean = mean_h + act * delta / cnt
+            out_fmean_ref[h] = new_mean
+            out_fm2_ref[h] = fm2_ref[h] + act * delta * (beta - new_mean)
     mu = mu_ref[:][None, :, :]                            # (1, p, TC)
     itau2 = itau2_ref[:][None, :, :]
     s = jnp.exp(ls_ref[:])[:, None, :]                    # (TG, 1, TC)
@@ -127,6 +163,7 @@ def _make_fused_mala_kernel(p: int, external_noise: bool, dense: bool = False):
 def fused_mala_logistic_step(
     key, beta, v_cache, g_cache, log_scale, mu, log_tau, x, y, mask,
     interpret: bool | None = None, noise=None, dense: bool = False,
+    rhat_fold=None,
 ):
     """One MALA update of the whole group block in a single kernel pass.
 
@@ -135,7 +172,12 @@ def fused_mala_logistic_step(
     grad (C,G,p) at beta; log_scale (C,G) or (C,1).
     noise: None (on-core PRNG; TPU only) or (eps (C,G,p), logu (C,G)) —
     external noise for exact-parity testing.
-    Returns (new_beta, new_v, new_g, alpha (C,G)).
+    rhat_fold: optional (mean (2,G,p,C), m2 (2,G,p,C), scalars (2,2)) —
+    kernel-layout streaming-R-hat accumulators folded with the INPUT beta
+    in the same pass (diagnostics.fold_rhat_*); appends (new_mean,
+    new_m2) to the return. Needs a group tile dividing G; otherwise the
+    fold falls back to the jnp reference around an unfolded kernel call.
+    Returns (new_beta, new_v, new_g, alpha (C,G)[, new_mean, new_m2]).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -143,13 +185,31 @@ def fused_mala_logistic_step(
     C, G, p = beta.shape
     n = x.shape[1]
     TC = _pick_tile(C, (256, 128, 64, 32, 16, 8))
+    fold = rhat_fold is not None
     # (TG,p,TC) buffers: beta + grad in, beta + grad out, ~4 temps (prop,
-    # eps, g_old/g_new, rev); (TG,TC): v/ls in, v/alpha out
+    # eps, g_old/g_new, rev); (TG,TC): v/ls in, v/alpha out; the fold adds
+    # 2x(2,TG,p,TC) in + out
     TG = _group_tile(
         n, p, TC, G, n_inter=2,
-        extra_out=6 * _r8(p) * _r128(TC) * 4 + 3 * _r128(TC) * 4,
+        extra_out=(6 + (8 if fold else 0)) * _r8(p) * _r128(TC) * 4
+        + 3 * _r128(TC) * 4,
         max_tg=64,
     )
+    if fold:
+        ft = _fold_tile(G, TG)
+        if ft is None:
+            from nestmc.diagnostics import fold_rhat_update
+
+            fmean, fm2, fsc = rhat_fold
+            nb, nv, ng, alpha = fused_mala_logistic_step(
+                key, beta, v_cache, g_cache, log_scale, mu, log_tau,
+                x, y, mask, interpret=interpret, noise=noise, dense=dense,
+            )
+            new_mean, new_m2 = fold_rhat_update(
+                fmean, fm2, jnp.transpose(beta, (1, 2, 0)), fsc
+            )
+            return nb, nv, ng, alpha, new_mean, new_m2
+        TG = ft
 
     seed = _seed_words(key)
 
@@ -184,36 +244,58 @@ def fused_mala_logistic_step(
     if external_noise:
         in_specs.append(pl.BlockSpec((TG, p, TC), lambda g, c: (g, 0, c)))
         in_specs.append(pl.BlockSpec((TG, TC), lambda g, c: (g, c)))
+    extra_in = list(pads[7:])
+    out_specs = [
+        pl.BlockSpec((TG, p, TC), lambda g, c: (g, 0, c)),
+        pl.BlockSpec((TG, TC), lambda g, c: (g, c)),
+        pl.BlockSpec((TG, p, TC), lambda g, c: (g, 0, c)),
+        pl.BlockSpec((TG, TC), lambda g, c: (g, c)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((Gp, p, C), jnp.float32),
+        jax.ShapeDtypeStruct((Gp, C), jnp.float32),
+        jax.ShapeDtypeStruct((Gp, p, C), jnp.float32),
+        jax.ShapeDtypeStruct((Gp, C), jnp.float32),
+    ]
+    if fold:
+        fmean, fm2, fsc = rhat_fold
+        in_specs.append(pl.BlockSpec(
+            (2, 2), lambda g, c: (0, 0), memory_space=pltpu.SMEM
+        ))
+        fold_spec = pl.BlockSpec((2, TG, p, TC), lambda g, c: (0, g, 0, c))
+        in_specs += [fold_spec, fold_spec]
+        extra_in += [fsc.astype(jnp.float32), fmean, fm2]
+        out_specs += [fold_spec, fold_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((2, G, p, C), jnp.float32),
+            jax.ShapeDtypeStruct((2, G, p, C), jnp.float32),
+        ]
 
     grid = (Gp // TG, C // TC)
-    new_bt, new_v, new_gt, alpha = pl.pallas_call(
-        _make_fused_mala_kernel(p, external_noise, dense),
+    outs = pl.pallas_call(
+        _make_fused_mala_kernel(p, external_noise, dense, fold),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((TG, p, TC), lambda g, c: (g, 0, c)),
-            pl.BlockSpec((TG, TC), lambda g, c: (g, c)),
-            pl.BlockSpec((TG, p, TC), lambda g, c: (g, 0, c)),
-            pl.BlockSpec((TG, TC), lambda g, c: (g, c)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Gp, p, C), jnp.float32),
-            jax.ShapeDtypeStruct((Gp, C), jnp.float32),
-            jax.ShapeDtypeStruct((Gp, p, C), jnp.float32),
-            jax.ShapeDtypeStruct((Gp, C), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * C * Gp * n * p + 30 * C * Gp * p + 10 * C * Gp * n,
+            flops=4 * C * Gp * n * p + 30 * C * Gp * p + 10 * C * Gp * n
+            + (8 * C * Gp * p if fold else 0),
             bytes_accessed=4 * (Gp * n * p + 2 * Gp * n
-                                + 4 * C * Gp * p + 6 * C * Gp),
+                                + 4 * C * Gp * p + 6 * C * Gp
+                                + (16 * C * Gp * p if fold else 0)),
             transcendentals=C * Gp * (2 * n + 3 * p + 3),
         ),
     )(seed, x_p, y_p, mask_p, bt_p, v_p, gt_p, ls_p, mu_t, itau2_t,
-      *pads[7:])
-    return (
+      *extra_in)
+    new_bt, new_v, new_gt, alpha = outs[:4]
+    result = (
         jnp.transpose(new_bt[:G], (2, 0, 1)),
         new_v[:G].T,
         jnp.transpose(new_gt[:G], (2, 0, 1)),
         alpha[:G].T,
     )
+    if fold:
+        result = result + (outs[4], outs[5])
+    return result

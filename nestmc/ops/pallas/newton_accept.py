@@ -106,7 +106,8 @@ def _lt_vec_slices(L, v, p):
 
 
 def _make_fused_newton_kernel(p: int, external_noise: bool,
-                              dense: bool = False, frozen: bool = False):
+                              dense: bool = False, frozen: bool = False,
+                              fold: bool = False):
   """frozen: the carried likelihood Hessian is a CONSTANT metric
   (KernelConfig.newton_freeze sampling phase) — the obs pass computes only
   (loglik, grad), the reverse-side metric equals the forward one (same
@@ -127,25 +128,45 @@ def _make_fused_newton_kernel(p: int, external_noise: bool,
     mu_ref, itau2_ref,            # (p, TC) chains-minor hyper state
     *rest,                        # [eps_ref, logu_ref,] outputs
   ):
+    # operand order: [eps, logu]? [fsc, fmean, fm2]? then outputs
+    # [beta, v, g, (h)?, alpha] [fmean', fm2']?
+    rest = list(rest)
+    if fold:
+        out_fmean_ref, out_fm2_ref = rest[-2:]
+        rest = rest[:-2]
     if external_noise:
-        if frozen:
-            eps_ref, logu_ref, out_beta_ref, out_v_ref, out_g_ref, \
-                out_alpha_ref = rest
-        else:
-            eps_ref, logu_ref, out_beta_ref, out_v_ref, out_g_ref, \
-                out_h_ref, out_alpha_ref = rest
+        eps_ref, logu_ref = rest[:2]
+        rest = rest[2:]
+    if fold:
+        fsc_ref, fmean_ref, fm2_ref = rest[:3]
+        rest = rest[3:]
+    if frozen:
+        out_beta_ref, out_v_ref, out_g_ref, out_alpha_ref = rest
     else:
-        if frozen:
-            out_beta_ref, out_v_ref, out_g_ref, out_alpha_ref = rest
-        else:
-            out_beta_ref, out_v_ref, out_g_ref, out_h_ref, \
-                out_alpha_ref = rest
+        out_beta_ref, out_v_ref, out_g_ref, out_h_ref, \
+            out_alpha_ref = rest
+    if not external_noise:
         pltpu.prng_seed(
             seed_ref[0, 0]
             + pl.program_id(0) * jnp.int32(1000003)
             + pl.program_id(1) * jnp.int32(7919)
         )
     mix = seed_ref[0, 1]
+    if fold:
+        # streaming split-R-hat Welford fold (VERDICT r3 item 5) on the
+        # INPUT beta = the previous retained draw's final value; both
+        # halves every draw, per-half active flags (mala_accept.py)
+        beta_arr = beta_ref[:]
+        for h in range(2):
+            cnt = fsc_ref[h, 0]
+            act = fsc_ref[h, 1]
+            mean_h = fmean_ref[h]
+            delta = beta_arr - mean_h
+            new_mean = mean_h + act * delta / cnt
+            out_fmean_ref[h] = new_mean
+            out_fm2_ref[h] = fm2_ref[h] + act * delta * (
+                beta_arr - new_mean
+            )
     beta = [beta_ref[:, k, :] for k in range(p)]          # p x (TG, TC)
     mu = [mu_ref[k, :][None, :] for k in range(p)]        # p x (1, TC)
     itau2 = [itau2_ref[k, :][None, :] for k in range(p)]
@@ -244,7 +265,7 @@ def _make_fused_newton_kernel(p: int, external_noise: bool,
 def fused_newton_logistic_step(
     key, beta, v_cache, g_cache, h_cache, log_scale, mu, log_tau, x, y,
     mask, interpret: bool | None = None, noise=None, dense: bool = False,
-    tg: int | None = None, frozen: bool = False,
+    tg: int | None = None, frozen: bool = False, rhat_fold=None,
 ):
     """One Newton-MH update of the whole group block in a single kernel.
 
@@ -256,11 +277,16 @@ def fused_newton_logistic_step(
     frozen: h_cache is a CONSTANT metric (sampling phase of
     KernelConfig.newton_freeze) — the obs pass computes only (v, g) and
     new_h is returned as h_cache itself (no select, no HBM write).
-    Returns (new_beta, new_v, new_g, new_h, alpha (C,G)).
+    rhat_fold: optional (mean (2,G,p,C), m2 (2,G,p,C), scalars (2,2)) —
+    streaming-R-hat accumulators folded in-kernel (mala_accept.py).
+    Returns (new_beta, new_v, new_g, new_h, alpha (C,G)[, mean', m2']).
     """
+    from nestmc.ops.pallas.mala_accept import _fold_tile
+
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     external_noise = noise is not None
+    fold = rhat_fold is not None
     C, G, p = beta.shape
     T = p * (p + 1) // 2
     n = x.shape[1]
@@ -275,9 +301,26 @@ def fused_newton_logistic_step(
     # conservative tile (the obs pass dominates either way).
     TG = tg or _group_tile(
         n, p, TC, G, n_inter=3,
-        extra_out=(3 * _r8(p) + 2 * _r8(T) + 4) * _r128(TC) * 4,
+        extra_out=(3 * _r8(p) + 2 * _r8(T) + 4
+                   + (8 * _r8(p) if fold else 0)) * _r128(TC) * 4,
         max_tg=16,
     )
+    if fold:
+        ft = _fold_tile(G, TG)
+        if ft is None:
+            from nestmc.diagnostics import fold_rhat_update
+
+            fmean, fm2, fsc = rhat_fold
+            nb, nv, ng, nh, alpha = fused_newton_logistic_step(
+                key, beta, v_cache, g_cache, h_cache, log_scale, mu,
+                log_tau, x, y, mask, interpret=interpret, noise=noise,
+                dense=dense, tg=tg, frozen=frozen,
+            )
+            new_mean, new_m2 = fold_rhat_update(
+                fmean, fm2, jnp.transpose(beta, (1, 2, 0)), fsc
+            )
+            return nb, nv, ng, nh, alpha, new_mean, new_m2
+        TG = ft
 
     seed = _seed_words(key)
 
@@ -314,6 +357,7 @@ def fused_newton_logistic_step(
     if external_noise:
         in_specs.append(pl.BlockSpec((TG, p, TC), lambda g, c: (g, 0, c)))
         in_specs.append(pl.BlockSpec((TG, TC), lambda g, c: (g, c)))
+    extra_in = list(pads[8:])
 
     grid = (Gp // TG, C // TC)
     out_specs = [
@@ -331,9 +375,22 @@ def fused_newton_logistic_step(
         out_shape.append(jax.ShapeDtypeStruct((Gp, T, C), jnp.float32))
     out_specs.append(pl.BlockSpec((TG, TC), lambda g, c: (g, c)))
     out_shape.append(jax.ShapeDtypeStruct((Gp, C), jnp.float32))
+    if fold:
+        fmean, fm2, fsc = rhat_fold
+        in_specs.append(pl.BlockSpec(
+            (2, 2), lambda g, c: (0, 0), memory_space=pltpu.SMEM
+        ))
+        fold_spec = pl.BlockSpec((2, TG, p, TC), lambda g, c: (0, g, 0, c))
+        in_specs += [fold_spec, fold_spec]
+        extra_in += [fsc.astype(jnp.float32), fmean, fm2]
+        out_specs += [fold_spec, fold_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((2, G, p, C), jnp.float32),
+            jax.ShapeDtypeStruct((2, G, p, C), jnp.float32),
+        ]
     hess_passes = 0 if frozen else 3 * T // 2
     outs = pl.pallas_call(
-        _make_fused_newton_kernel(p, external_noise, dense, frozen),
+        _make_fused_newton_kernel(p, external_noise, dense, frozen, fold),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -341,14 +398,20 @@ def fused_newton_logistic_step(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=(4 + hess_passes + 3 * p // 2) * C * Gp * n * p
-            + 40 * C * Gp * (p * p) + 10 * C * Gp * n,
+            + 40 * C * Gp * (p * p) + 10 * C * Gp * n
+            + (8 * C * Gp * p if fold else 0),
             bytes_accessed=4 * (Gp * n * p + 2 * Gp * n
                                 + C * Gp * (4 * p + (2 if frozen else 4) * T
-                                            + 6)),
+                                            + 6)
+                                + (16 * C * Gp * p if fold else 0)),
             transcendentals=C * Gp * (2 * n + 3 * p + 6),
         ),
     )(seed, x_p, y_p, mask_p, bt_p, v_p, gt_p, ht_p, ls_p, mu_t, itau2_t,
-      *pads[8:])
+      *extra_in)
+    outs = list(outs)
+    fold_out = tuple(outs[-2:]) if fold else ()
+    if fold:
+        outs = outs[:-2]
     if frozen:
         new_bt, new_v, new_gt, alpha = outs
         new_h = h_cache                       # constant metric, untouched
@@ -361,4 +424,4 @@ def fused_newton_logistic_step(
         jnp.transpose(new_gt[:G], (2, 0, 1)),
         new_h,
         alpha[:G].T,
-    )
+    ) + fold_out

@@ -167,7 +167,15 @@ def _nested_poisson_1k(seed: int, scale: float):
     # 16384 draws: the converged schedule (worst split R-hat 1.0090,
     # artifact nested-poisson-1k_2349409; log_tau_g is the slowest mode
     # and R-hat scales ~1/draws). Sampling is only ~70 s at 512 chains.
+    # fused_accept: the single-kernel beta_s step (ops/pallas/
+    # poisson_accept.py, round 4) — same adaptive-RW kernel the spec pins,
+    # one Pallas launch instead of the op-by-op update. Probe A/B at
+    # C=512 (poisson-fused-ab_d54b1ed, real v5e, 2026-08-19, in-process):
+    # rwmh 239.1 -> 241.8 sweeps/s, floor 547 -> 582/s; the mala/newton
+    # variants gain more (+12%/+22% floor) because their updates carry
+    # more op-by-op algebra.
     cfg = SamplerConfig(
+        kernel=KernelConfig(fused_accept=True),
         run=RunConfig(
             chains=512 if scale >= 1.0 else 32,
             warmup=max(50, int(1000 * scale)),
