@@ -128,7 +128,7 @@ def build_step_fns(model: ModelSpec, cfg: SamplerConfig, data=None):
 
     rthin = max(1, cfg.run.full_rhat_thin)
     half_len = (cfg.run.draws // rthin) // 2
-    fold_names = rhat_fold_names(model, cfg) if rthin == 1 else ()
+    fold_names = rhat_fold_names(model, cfg)
     donate_full = (0, 1) if cfg.sharding.donate_carry else ()
 
     @partial(jax.jit, static_argnames=("length",),
@@ -139,15 +139,38 @@ def build_step_fns(model: ModelSpec, cfg: SamplerConfig, data=None):
             c, sa, fa = ca
             j = offset + i
             if fold_names:
-                # fold retained draw j-1 (nothing pending at j == 0)
+                # fold retained draw j-1 (nothing pending at j == 0; with
+                # full_rhat_thin > 1 only every rthin-th retained draw is
+                # folded — jm1t = -1 marks a skipped draw)
+                jm1t = jnp.where(
+                    (j - 1 >= 0) & ((j - 1) % rthin == 0),
+                    (j - 1) // rthin, -1,
+                )
                 scs = {
-                    n: fold_rhat_scalars(fa[n][0], j - 1, half_len)
+                    n: fold_rhat_scalars(fa[n][0], jm1t, half_len)
                     for n in fold_names
                 }
                 folds = {
                     n: (fa[n][1], fa[n][2], scs[n]) for n in fold_names
                 }
-                c, fout = sweep(c, data, adapt=False, rhat_fold=folds)
+                if rthin == 1:
+                    c, fout = sweep(c, data, adapt=False, rhat_fold=folds)
+                else:
+                    # gate the WHOLE fold (operand streaming included)
+                    # behind a cond: un-folded sweeps run the plain fused
+                    # kernel with zero accumulator traffic
+                    c, fout = jax.lax.cond(
+                        jm1t >= 0,
+                        lambda c_: sweep(
+                            c_, data, adapt=False, rhat_fold=folds
+                        ),
+                        lambda c_: (
+                            sweep(c_, data, adapt=False),
+                            {n: (fa[n][1], fa[n][2])
+                             for n in fold_names},
+                        ),
+                        c,
+                    )
                 if thin > 1:
                     c = jax.lax.fori_loop(
                         0, thin - 1,
@@ -298,8 +321,7 @@ def sample(
         from nestmc.diagnostics import fold_rhat_init, streaming_rhat_init
         from nestmc.kernels.gibbs import rhat_fold_names
 
-        if max(1, rc.full_rhat_thin) == 1:
-            fold_names = rhat_fold_names(model, cfg)
+        fold_names = rhat_fold_names(model, cfg)
         # build inside jit from the sharded position so the accumulators
         # inherit the chain-axis sharding
         std_pos = {
@@ -387,15 +409,19 @@ def sample(
         std_a, fold_a = acc
         if fold_a:
             # the in-sweep fold lags one draw: flush the final retained
-            # draw (the current position) into the fold accumulators
-            half_len = rc.draws // 2
+            # draw (the current position) into the fold accumulators —
+            # only if the thinning gate selects it
+            rthin = max(1, rc.full_rhat_thin)
+            half_len = (rc.draws // rthin) // 2
+            last = rc.draws - 1
+            last_t = last // rthin if last % rthin == 0 else -1
 
             @jax.jit
             def _flush(fa, position):
                 out = {}
                 for n, (count, mean, m2) in fa.items():
                     sc = fold_rhat_scalars(
-                        count, jnp.int32(rc.draws - 1), half_len
+                        count, jnp.int32(last_t), half_len
                     )
                     nm, nm2 = fold_rhat_update(
                         mean, m2, jnp.moveaxis(position[n], 0, -1), sc

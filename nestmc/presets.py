@@ -323,11 +323,11 @@ def _nested_poisson_1k_mala(seed: int, scale: float):
     """Config-3 variant beyond the spec pin: MALA on beta_s.
 
     BASELINE.json:9 pins 'adaptive MH' (kept as the default preset's RW
-    kernel); beta_s carries a fused logp+grad cache, so MALA costs no
-    extra obs passes and lifts the binding log_tau_g min-ESS floor ~3x
-    (measured A/B at HEAD: tau_g ESS 13.6k -> 40.7k over 512x4096 pooled
-    draws, min tau_g ESS/s 668 -> 1,909 at 251 -> 192 sweeps/s;
-    benchmarks/poisson_ab.py --algorithm mala)."""
+    kernel; DESIGN.md 5a); beta_s carries a fused logp+grad cache, so
+    MALA costs no extra obs passes and lifts the binding log_tau_g
+    min-ESS floor ~3x. Round-4 state (fused single-kernel step, full
+    schedule, all-param R-hat 1.0027): 687.4k ESS/s/chip, floor 2,013/s
+    (artifact `nested-poisson-1k-mala_d54b1ed_121101`)."""
     model, data, cfg = _nested_poisson_1k(seed, scale)
     return model, data, dataclasses.replace(
         cfg, kernel=dataclasses.replace(cfg.kernel, algorithm="mala")
@@ -344,7 +344,9 @@ def _nested_poisson_1k_newton(seed: int, scale: float):
     parameter-free p-dim Gauss-Newton Laplace move off the carried
     Hessian. Config 3's min-ESS floor (log_tau_g) is capped by beta_s's
     own mixing (BASELINE.md round 3) — this is the strongest beta_s
-    kernel in the design space."""
+    kernel in the design space. Round-4 state (fused single-kernel step,
+    full schedule, all-param R-hat 1.0017): 933.6k ESS/s/chip, floor
+    2,570/s (artifact `nested-poisson-1k-newton_d54b1ed_121737`)."""
     model, data, cfg = _nested_poisson_1k(seed, scale)
     return model, data, dataclasses.replace(
         cfg, kernel=dataclasses.replace(cfg.kernel, algorithm="newton")
