@@ -171,3 +171,44 @@ def test_group_loglik_all_model_families():
          for g in range(6)], axis=-1,
     )
     np.testing.assert_allclose(gll, seg, rtol=2e-5, atol=2e-4)
+
+
+def _psis_loo_scalar_reference(ll):
+    """The pre-batching per-unit loop (round-3 psis_loo body), kept here as
+    the semantic reference for the column-batched implementation."""
+    from nestmc.compare import _logmeanexp, _psis_smooth_tail
+
+    s, g = ll.shape
+    elpd_i = np.empty(g)
+    k_hat = np.empty(g)
+    for j in range(g):
+        logw = -ll[:, j]
+        logw = logw - np.max(logw)
+        logw, k = _psis_smooth_tail(logw)
+        k_hat[j] = k
+        lse = _logmeanexp((logw + ll[:, j])[:, None], axis=0)[0]
+        norm = _logmeanexp(logw[:, None], axis=0)[0]
+        elpd_i[j] = lse - norm
+    return elpd_i, k_hat
+
+
+@pytest.mark.parametrize("s,g,chunk", [(900, 37, None), (900, 37, 8),
+                                       (60, 11, None), (8, 5, None)])
+def test_psis_loo_batched_matches_scalar_loop(s, g, chunk):
+    """The batched Zhang-Stephens fit must reproduce the per-unit scalar
+    path exactly (same candidates, same masking semantics) — including
+    units with tied tail weights (nonpositive exceedances) and the
+    tail_len < 5 passthrough (s=8)."""
+    rng = np.random.default_rng(s * 1000 + g)
+    ll = rng.standard_t(df=3, size=(s, g))
+    # inject ties in a few columns so some exceedances are exactly zero
+    for j in range(0, g, 5):
+        top = np.argsort(ll[:, j])[-4:]
+        ll[top, j] = ll[top[0], j]
+    ref_elpd, ref_k = _psis_loo_scalar_reference(ll)
+    r = psis_loo(ll, chunk=chunk)
+    np.testing.assert_allclose(r["elpd_i"], ref_elpd, rtol=1e-9, atol=1e-9)
+    # k_hat: inf entries must match positionally; finite ones numerically
+    assert np.array_equal(np.isfinite(r["k_hat"]), np.isfinite(ref_k))
+    m = np.isfinite(ref_k)
+    np.testing.assert_allclose(r["k_hat"][m], ref_k[m], rtol=1e-9)
