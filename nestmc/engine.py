@@ -139,13 +139,14 @@ def build_step_fns(model: ModelSpec, cfg: SamplerConfig, data=None):
             c, sa, fa = ca
             j = offset + i
             if fold_names:
-                # fold retained draw j-1 (nothing pending at j == 0; with
-                # full_rhat_thin > 1 only every rthin-th retained draw is
-                # folded — jm1t = -1 marks a skipped draw)
-                jm1t = jnp.where(
-                    (j - 1 >= 0) & ((j - 1) % rthin == 0),
-                    (j - 1) // rthin, -1,
-                )
+                # fold retained draw j-1 (nothing pending at j == 0, so
+                # jm1t = -1 marks it skipped). fold_names is only
+                # non-empty at full_rhat_thin == 1 (rhat_fold_names):
+                # a cond-gated per-sweep fold was measured SLOWER than
+                # the thinned jnp path below at G=100k (55.8k vs 67.0k
+                # ESS/s/chip — the cond re-materializes the accumulator
+                # buffers every sweep), so thinned runs stream post-sweep.
+                jm1t = jnp.where(j - 1 >= 0, j - 1, -1)
                 scs = {
                     n: fold_rhat_scalars(fa[n][0], jm1t, half_len)
                     for n in fold_names
@@ -153,24 +154,7 @@ def build_step_fns(model: ModelSpec, cfg: SamplerConfig, data=None):
                 folds = {
                     n: (fa[n][1], fa[n][2], scs[n]) for n in fold_names
                 }
-                if rthin == 1:
-                    c, fout = sweep(c, data, adapt=False, rhat_fold=folds)
-                else:
-                    # gate the WHOLE fold (operand streaming included)
-                    # behind a cond: un-folded sweeps run the plain fused
-                    # kernel with zero accumulator traffic
-                    c, fout = jax.lax.cond(
-                        jm1t >= 0,
-                        lambda c_: sweep(
-                            c_, data, adapt=False, rhat_fold=folds
-                        ),
-                        lambda c_: (
-                            sweep(c_, data, adapt=False),
-                            {n: (fa[n][1], fa[n][2])
-                             for n in fold_names},
-                        ),
-                        c,
-                    )
+                c, fout = sweep(c, data, adapt=False, rhat_fold=folds)
                 if thin > 1:
                     c = jax.lax.fori_loop(
                         0, thin - 1,

@@ -72,9 +72,21 @@ def rhat_fold_names(model: ModelSpec, cfg: SamplerConfig) -> tuple:
     any non-Gibbs block whose resolved fused update hook accepts an
     ``rhat_fold`` kwarg (the hook folds in-kernel when the fused path is
     live, and the sweep folds with the jnp reference otherwise, so the
-    engine may rely on the fold happening either way)."""
+    engine may rely on the fold happening either way).
+
+    Only applies at ``full_rhat_thin == 1``. With thinning the fold must
+    be cond-gated per sweep, and the cond materializes fresh output
+    buffers for the O(params x chains) accumulators on EVERY sweep —
+    measured at config-5 scale (G=100k, C=512, thin=4): cond-gated fold
+    55.8k ESS/s/chip vs the post-sweep cond-gated jnp update's 67.0k
+    (the jnp path's cond carries the accumulators once per thinned draw
+    only). At thin=1 the fold is a pure win (8.23M vs 7.61M judged;
+    61.6k vs 53.1k at G=100k) because it rides operands the step kernel
+    reads anyway."""
     import inspect
 
+    if cfg.run.full_rhat_thin > 1:
+        return ()
     out = []
     for b in model.blocks:
         if b.name in model.gibbs_draws:

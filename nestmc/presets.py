@@ -282,10 +282,19 @@ def _mala_100k(seed: int, scale: float):
             draws=max(50, int(4096 * scale)),
             seed=seed,
             collect={"mu": None, "log_tau": None, "beta": 8},
-            # full-R-hat streaming over ~300k params costs ~19% of sweep
-            # time at thin 1 (53.1k vs 63.3k ESS/s/chip, BASELINE.md);
-            # fold every 4th draw instead — 1024 thinned draws per chain
-            # still drive the same split-R-hat gate
+            # full-R-hat gating baked in (the committed artifact is
+            # all-param-gated; `--preset mala-100k` with no overrides must
+            # reproduce it — VERDICT r2 item 5). Streaming over ~300k
+            # params at thin=1 costs ~19% via the jnp path (53.1k vs
+            # 63.3k ESS/s/chip) and ~11% via the round-4 in-kernel fold
+            # (61.6k): at G=100k the Welford STATE traffic (4x position
+            # per fold) is itself the cost. thin=4 runs the post-sweep
+            # cond-gated jnp update (67.0k) — a cond-gated IN-KERNEL fold
+            # at thin=4 measured SLOWER (55.8k: the cond re-materializes
+            # the accumulators every sweep), so rhat_fold_names disables
+            # the fold when full_rhat_thin > 1. 1024 thinned draws/chain
+            # drive the same split-R-hat gate.
+            full_rhat=True,
             full_rhat_thin=4,
         ),
         sharding=ShardingConfig(

@@ -164,7 +164,12 @@ def test_full_rhat_fold_path_matches_split_rhat(algorithm, rthin):
     late + final flush; VERDICT r3 item 5) must produce EXACTLY the split
     R-hat of the retained draws. hier_logistic declares fold-capable
     fused hooks, so gibbs.rhat_fold_names engages the path; off-TPU the
-    fold runs the jnp reference through the same engine plumbing."""
+    fold runs the jnp reference through the same engine plumbing. At
+    full_rhat_thin > 1 the fold is DISABLED (rhat_fold_names returns ():
+    the cond-gated per-sweep fold measured slower than the thinned
+    post-sweep jnp update at config-5 scale, 55.8k vs 67.0k ESS/s/chip)
+    and the streamed statistic must still match split R-hat of the
+    thinned retained draws via the jnp path."""
     import jax
 
     from nestmc import SamplerConfig as SC
@@ -184,7 +189,8 @@ def test_full_rhat_fold_path_matches_split_rhat(algorithm, rthin):
             collect={"beta": None, "mu": None, "log_tau": None},
         ),
     )
-    assert rhat_fold_names(model, cfg) == ("beta",)
+    expected_fold = ("beta",) if rthin == 1 else ()
+    assert rhat_fold_names(model, cfg) == expected_fold
     post = sample(model, data, cfg)
     assert set(post.full_rhat) == {"beta", "mu", "log_tau"}
     for name, streamed in post.full_rhat.items():
