@@ -53,8 +53,18 @@ def main() -> int:
     n_dev = jax.device_count()
     lines = []
     for variant in args.variants.split(","):
-        algorithm, _, prior = variant.partition("-")
-        model = make_hier_logistic(data, tau_prior=prior or "halfnormal")
+        # "<algorithm>-<prior>[-rK]" — rK sets asis_repeats=K (extra
+        # interweave passes per sweep: each costs one likelihood pass and
+        # multiplies tau ESS/sweep, the min-ESS floor lever at G=100k)
+        parts = variant.split("-")
+        algorithm = parts[0]
+        prior = parts[1] if len(parts) > 1 else "halfnormal"
+        repeats = 1
+        if len(parts) > 2 and parts[2].startswith("r"):
+            repeats = int(parts[2][1:])
+        model = make_hier_logistic(
+            data, tau_prior=prior, asis_repeats=repeats
+        )
         cfg = SamplerConfig(
             kernel=KernelConfig(algorithm=algorithm, fused_accept=True),
             run=RunConfig(
