@@ -97,11 +97,23 @@ def main() -> int:
     floor_holds = beta_min > tau_floor
 
     # ---- 2. classic vs rank-normalized+folded R-hat on the same draws ----
+    # Chunk over scalars: rank normalization sorts the pooled (C*D) draws
+    # per scalar, and take_along_axis on the full (1024, 4096, 64, 4)
+    # judged beta array OOMs the chip — 16 scalars at a time is ~260 MB
+    # peak and produces identical per-scalar statistics.
     stats = {}
     worst_delta = 0.0
     for name, x in post.draws.items():
-        classic = np.asarray(split_rhat(jnp.asarray(x)))
-        ranknorm = np.asarray(rhat(jnp.asarray(x)))  # rank-norm + folded
+        arr = np.asarray(x)
+        C, D = arr.shape[:2]
+        flat = arr.reshape(C, D, -1)
+        classic_parts, ranknorm_parts = [], []
+        for s in range(0, flat.shape[-1], 16):
+            chunk = jnp.asarray(flat[:, :, s:s + 16])
+            classic_parts.append(np.asarray(split_rhat(chunk)))
+            ranknorm_parts.append(np.asarray(rhat(chunk)))
+        classic = np.concatenate(classic_parts)
+        ranknorm = np.concatenate(ranknorm_parts)  # rank-norm + folded
         stats[name] = {
             "classic_max": float(classic.max()),
             "ranknorm_max": float(ranknorm.max()),
@@ -119,7 +131,10 @@ def main() -> int:
         "sample_seed": args.sample_seed,
         "tau_floor_block": tau_block,
         "tau_floor_ess": tau_floor,
-        "tau_floor_index": floor["index"] if floor else None,
+        "tau_floor_index": [int(i) for i in np.unravel_index(
+            int(tau_ess.argmin()), tau_ess.shape)],
+        # global argmin over EVERYTHING collected (incl. the beta sample)
+        "global_floor": floor,
         "beta_sample_min_ess": beta_min,
         "beta_sample_min_group": int(beta_min_group),
         "beta_sample_min_coord": [int(i) for i in beta_min_idx[1:]],

@@ -305,25 +305,23 @@ def _mala_100k(seed: int, scale: float):
 
 
 def _mala_100k_newton(seed: int, scale: float):
-    """Config-5 variant: frozen-metric Newton at G=100k — measured and
-    REJECTED as a default (artifact `mala-100k-newton_a5b2a6d`, 2026-08-18):
-    at C=512 the Newton warmup working set (carry + {v,g,h} proposal +
-    packed-Hessian cache + full-R-hat accumulators) OOMs HBM and crashes
-    the worker; at C=256 the run completes but fails the 1.01 all-param
-    gate (worst R-hat 1.0183, floor log_tau[2]) and is ~8.6x slower per
-    chain-sweep than the unfused MALA default (6.7 sweeps/s). Kept
-    reproducible for the record; `mala-100k` (MALA + Langevin ASIS)
-    remains the config-5 default. BASELINE.md "Newton across the config
-    ladder" has the full analysis and the two confounds (fused_accept
-    off; invgamma vs half-normal tau)."""
+    """Config-5 variant: frozen-metric Newton at G=100k, the round-4
+    CONFOUND-CLOSED re-litigation of the round-3 rejection (VERDICT r3
+    item 1). The round-3 arm ran op-by-op (≈15 (C,G,T) temps in the
+    warmup program — HBM-OOM at C=512) with a different tau prior than
+    the MALA arm. With the fused single-kernel Newton step (the whole
+    update is ONE kernel: no op-by-op temps ever materialize) C=512 runs
+    fine and the probe A/B (`c5-ab_1f17266`, 300/512 schedule, both arms
+    fused) measured Newton-invgamma 96.2k ESS/s/chip sum vs
+    MALA-halfnormal 73.0k (+32%) — but floor 758/s vs MALA's 1,034/s:
+    Newton's extra tau-conditional likelihood passes cost floor mixing
+    at G=100k. Per DESIGN.md §5a, Newton is NOT "MALA" (BASELINE.json:11
+    pin), so `mala-100k` (MALA) stays the default and this ships as the
+    sum-convention-optimal variant."""
     _, data, cfg = _mala_100k(seed, scale)
     model = make_hier_logistic(data, tau_prior="invgamma")
-    run = dataclasses.replace(
-        cfg.run, chains=256 if cfg.run.chains > 256 else cfg.run.chains
-    )
     return model, data, dataclasses.replace(
         cfg,
-        run=run,
         kernel=dataclasses.replace(cfg.kernel, algorithm="newton"),
     )
 
