@@ -36,6 +36,10 @@ def main() -> int:
     ap.add_argument("--variants", default=(
         "mala-halfnormal,mala-invgamma,newton-invgamma"
     ))
+    # ≤45 s per device execution on the axon tunnel (CLAUDE.md: ~76 s
+    # single calls kill the worker; Newton warmup ~6.6 sweeps/s, rK
+    # variants slower still)
+    ap.add_argument("--segment-size", type=int, default=200)
     ap.add_argument("--out")
     args = ap.parse_args()
 
@@ -69,7 +73,7 @@ def main() -> int:
             kernel=KernelConfig(algorithm=algorithm, fused_accept=True),
             run=RunConfig(
                 chains=args.chains, warmup=args.warmup, draws=args.draws,
-                seed=0, segment_size=4096,
+                seed=0, segment_size=args.segment_size,
                 collect={"mu": None, "log_tau": None, "beta": 8},
                 log_every_segment=False,
             ),

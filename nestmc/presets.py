@@ -323,6 +323,14 @@ def _mala_100k_newton(seed: int, scale: float):
     return model, data, dataclasses.replace(
         cfg,
         kernel=dataclasses.replace(cfg.kernel, algorithm="newton"),
+        # segment_size 256, NOT the inherited 500: Newton warmup runs
+        # ~6.6 sweeps/s at this shape, so a 500-sweep segment is a ~76 s
+        # single device execution — which reproducibly (3/3, 2026-08-19)
+        # kills the axon TPU worker ("TPU worker process crashed or
+        # restarted"); every ≤48 s execution succeeded, and the same
+        # 500-sweep warmup split into two 250-sweep segments ran clean.
+        # Keep per-segment wall time under ~45 s on this tunnel.
+        run=dataclasses.replace(cfg.run, segment_size=256),
     )
 
 
