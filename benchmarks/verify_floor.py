@@ -4,9 +4,15 @@
 1. **min-ESS floor coverage**: the min-ESS convention's floor claim
    ("log_tau[1] is the slowest parameter") was an extrapolation from ~40
    collected scalars out of 4,008. This run collects a SEEDED RANDOM
-   sample of beta group units (RunConfig.collect now takes explicit index
-   tuples) alongside mu/log_tau and checks whether any sampled beta
-   scalar's bulk ESS undercuts the log_tau floor.
+   sample of per-unit parameter blocks (RunConfig.collect now takes
+   explicit index tuples) alongside mu/log_tau and checks whether any
+   sampled scalar's bulk ESS undercuts the log_tau floor. Round 5
+   (VERDICT r4 item 2): EVERY per-unit block is sampled (config 3 gets
+   beta_g groups AND beta_s subjects), and when the data carries ragged
+   group sizes the sample is STRATIFIED across size quantiles so the
+   small-n groups — the plausible slowest mixers — are represented
+   (config 4). Sampled floors remain upper bounds on the true minimum;
+   results state the coverage fraction explicitly.
 
 2. **R-hat statistic asymmetry**: the streamed full-parameter gate uses
    classic split R-hat while collected-scalar diagnostics use the
@@ -64,16 +70,58 @@ def main() -> int:
     if overrides:
         cfg = override_run(cfg, **overrides)
 
-    # which block holds the per-group params in this preset's model
-    beta_block = "beta" if "beta" in cfg.run.collect else "beta_s"
-    G = {
-        b.name: b.units for b in model.blocks
-    }.get(beta_block)
+    def _stratified(rng, n_units, k, sizes):
+        """k unit indices stratified across size quantiles (small units
+        guaranteed representation); uniform when sizes are constant."""
+        k = min(k, n_units)
+        sizes = None if sizes is None else np.asarray(sizes)
+        if sizes is None or len(sizes) != n_units or sizes.min() == sizes.max():
+            return tuple(sorted(
+                int(i) for i in rng.choice(n_units, size=k, replace=False)
+            ))
+        order = np.argsort(sizes, kind="stable")
+        strata = np.array_split(order, min(8, k))
+        picked = []
+        per = max(1, k // len(strata))
+        for s in strata:
+            take = min(per, len(s))
+            picked.extend(rng.choice(s, size=take, replace=False).tolist())
+        pool = np.setdiff1d(np.arange(n_units), np.asarray(picked, int))
+        if len(picked) < k and len(pool):
+            picked.extend(rng.choice(
+                pool, size=min(k - len(picked), len(pool)), replace=False
+            ).tolist())
+        return tuple(sorted(int(i) for i in picked[:k]))
+
+    # every per-unit parameter block in this preset's model (config 3 has
+    # two: beta_g groups and beta_s subjects); each gets its own seeded
+    # sample. Ragged group sizes (config 4) stratify the group-unit block.
+    unit_blocks = [
+        b for b in model.blocks
+        if b.name.startswith("beta") and b.units and b.units > 1
+    ]
+    group_sizes = getattr(data, "sizes", None)
+    if callable(group_sizes):  # RaggedData.sizes is a method
+        group_sizes = group_sizes()
+    if group_sizes is not None:
+        group_sizes = np.asarray(group_sizes)
+        if group_sizes.ndim != 1:
+            group_sizes = None
     rng = np.random.default_rng(args.sample_seed)
-    k = min(args.sample_groups, G)
-    idx = tuple(int(i) for i in rng.choice(G, size=k, replace=False))
     collect = dict(cfg.run.collect)
-    collect[beta_block] = idx
+    sampled_idx, coverage = {}, {}
+    for b in unit_blocks:
+        sz = group_sizes if (
+            group_sizes is not None and len(np.asarray(group_sizes)) == b.units
+        ) else None
+        idx = _stratified(rng, b.units, args.sample_groups, sz)
+        sampled_idx[b.name] = idx
+        coverage[b.name] = {
+            "sampled": len(idx), "total": b.units,
+            "fraction": len(idx) / b.units,
+            "stratified_by_size": sz is not None,
+        }
+        collect[b.name] = idx
     cfg = override_run(cfg, collect=collect)
 
     t0 = time.perf_counter()
@@ -84,16 +132,35 @@ def main() -> int:
     sample_s = post.timings["sample_s"]
     n_dev = jax.device_count()
 
-    # ---- 1. floor coverage over the random beta sample ----
-    tau_block = "log_tau" if "log_tau" in diag else "log_tau_g"
-    tau_ess = np.asarray(diag[tau_block]["ess_bulk"])
-    beta_ess = np.asarray(diag[beta_block]["ess_bulk"])
-    floor = post.min_ess_argmin()
+    # ---- 1. floor coverage over the random unit samples ----
+    # "collected-scalar floor": min bulk ESS over every collected block
+    # that is NOT one of the sampled unit blocks (mu + the log_tau levels)
+    scalar_ess = {
+        n: np.asarray(diag[n]["ess_bulk"])
+        for n in diag if n not in sampled_idx
+    }
+    tau_block = min(scalar_ess, key=lambda n: float(scalar_ess[n].min()))
+    tau_ess = scalar_ess[tau_block]
     tau_floor = float(tau_ess.min())
-    beta_min = float(beta_ess.min())
-    beta_min_idx = np.unravel_index(int(beta_ess.argmin()), beta_ess.shape)
-    # map the sampled row back to the true group id for attribution
-    beta_min_group = idx[int(beta_min_idx[0])]
+    floor = post.min_ess_argmin()
+    per_block = {}
+    beta_min = float("inf")
+    beta_min_block, beta_min_unit, beta_min_coord = None, None, []
+    for name, uidx in sampled_idx.items():
+        e = np.asarray(diag[name]["ess_bulk"])
+        mi = np.unravel_index(int(e.argmin()), e.shape)
+        per_block[name] = {
+            "min_ess": float(e.min()),
+            "min_unit": int(uidx[int(mi[0])]),
+            "min_coord": [int(i) for i in mi[1:]],
+            "scalars": int(e.size),
+            **coverage[name],
+        }
+        if float(e.min()) < beta_min:
+            beta_min = float(e.min())
+            beta_min_block = name
+            beta_min_unit = int(uidx[int(mi[0])])
+            beta_min_coord = [int(i) for i in mi[1:]]
     floor_holds = beta_min > tau_floor
 
     # ---- 2. classic vs rank-normalized+folded R-hat on the same draws ----
@@ -126,18 +193,18 @@ def main() -> int:
         "chains": cfg.run.chains,
         "warmup": cfg.run.warmup,
         "draws": cfg.run.draws,
-        "sampled_groups": k,
-        "sampled_beta_scalars": int(beta_ess.size),
         "sample_seed": args.sample_seed,
+        "sampled_blocks": per_block,
         "tau_floor_block": tau_block,
         "tau_floor_ess": tau_floor,
         "tau_floor_index": [int(i) for i in np.unravel_index(
             int(tau_ess.argmin()), tau_ess.shape)],
-        # global argmin over EVERYTHING collected (incl. the beta sample)
+        # global argmin over EVERYTHING collected (incl. the unit samples)
         "global_floor": floor,
         "beta_sample_min_ess": beta_min,
-        "beta_sample_min_group": int(beta_min_group),
-        "beta_sample_min_coord": [int(i) for i in beta_min_idx[1:]],
+        "beta_sample_min_block": beta_min_block,
+        "beta_sample_min_group": beta_min_unit,
+        "beta_sample_min_coord": beta_min_coord,
         "floor_holds": bool(floor_holds),
         "beta_over_tau_ratio": beta_min / max(tau_floor, 1e-9),
         "min_ess_per_sec_per_chip": min(beta_min, tau_floor)
