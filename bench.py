@@ -126,6 +126,18 @@ def main() -> int:
             f"index={floor['index']} ess={floor['ess']:.0f}",
             file=sys.stderr,
         )
+    # measured min ESS over ALL parameters (cross-chain mean-functional
+    # estimator on the streamed full-R-hat accumulators + one-sided 95%
+    # lower confidence bound) — the floor is no longer an extrapolation
+    # from collected scalars (VERDICT r4 item 5)
+    floor_all = post.min_ess_all_params()
+    if floor_all is not None:
+        print(
+            f"[bench] all-param ESS floor (cross-chain): "
+            f"block={floor_all['block']} index={floor_all['index']} "
+            f"ess={floor_all['ess']:.0f} ess_lb95={floor_all['ess_lb']:.0f}",
+            file=sys.stderr,
+        )
 
     # Convergence gate (SURVEY.md section 3.5 / BASELINE.json:5): the
     # throughput number is meaningless if the chains have not converged.
@@ -147,6 +159,20 @@ def main() -> int:
         "worst_rhat_all_params": round(worst_rhat, 5),
         "min_ess_floor": (
             f"{floor['block']}{list(floor['index'])}" if floor else None
+        ),
+        # measured over ALL 4008 params via the streamed cross-chain
+        # estimator (mean-functional; see nestmc/diagnostics.py): the
+        # min-ESS convention's floor with a 95% lower confidence bound
+        "min_ess_all_params": (
+            round(floor_all["ess"], 1) if floor_all else None
+        ),
+        "min_ess_all_params_lb95_per_sec_per_chip": (
+            round(floor_all["ess_lb"] / sample_s / n_dev, 1)
+            if floor_all else None
+        ),
+        "min_ess_all_floor": (
+            f"{floor_all['block']}{list(floor_all['index'])}"
+            if floor_all else None
         ),
     }))
     return 0

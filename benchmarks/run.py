@@ -24,6 +24,7 @@ def run_preset(
     chain_shards: int | None = None, group_shards: int | None = None,
     algorithm: str | None = None, fused_accept: bool | None = None,
     fused_accept_warmup: bool | None = None,
+    run_seed: int | None = None,
     **overrides,
 ) -> dict:
     import dataclasses
@@ -34,6 +35,9 @@ def run_preset(
     from nestmc.presets import get_preset, override_run
 
     model, data, cfg = get_preset(name, seed=seed, scale=scale)
+    if run_seed is not None:
+        # sampler-RNG seed only; the preset's synthetic data stays fixed
+        overrides["seed"] = run_seed
     overrides = {k: v for k, v in overrides.items() if v is not None}
     if overrides:
         cfg = override_run(cfg, **overrides)
@@ -87,6 +91,9 @@ def run_preset(
         "full_rhat_thin": cfg.run.full_rhat_thin,
         "ess_per_sec_per_chip": post.total_ess() / sample_s / n_chips,
         "min_ess_per_sec_per_chip": post.min_ess() / sample_s / n_chips,
+        # measured min over ALL params (streamed cross-chain estimator +
+        # 95% lower bound; None unless the run streamed full_rhat)
+        "min_ess_all_params": post.min_ess_all_params(),
         # SURVEY section 3.5's original convention (warmup IN the
         # denominator) alongside the fixed sampling-phase convention; the
         # two diverge by >10x on small configs where warmup wall time is
@@ -109,6 +116,13 @@ def main() -> int:
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--run-seed", type=int,
+        help="override RunConfig.seed ONLY (chain init + proposal RNG), "
+             "keeping the preset's synthetic data fixed — isolates "
+             "sampler-seed variance (e.g. of a gate margin) from "
+             "data-realization variance",
+    )
     ap.add_argument("--out", help="directory for result JSON files")
     # schedule overrides (convergence campaigns tune these per config
     # without touching the preset definitions)
@@ -166,6 +180,7 @@ def main() -> int:
         res = run_preset(
             name, args.scale, args.seed,
             chains=args.chains, warmup=args.warmup, draws=args.draws,
+            run_seed=args.run_seed,
             segment_size=args.segment_size,
             full_rhat=args.full_rhat or None,
             full_rhat_thin=args.full_rhat_thin,

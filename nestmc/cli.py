@@ -150,6 +150,8 @@ def cmd_run(args) -> int:
         ), file=sys.stderr)
 
     init_state = None
+    init_acc = None
+    draws_offset = 0
     skip_warmup = False
     if args.resume:
         ckdir = cfg.run.checkpoint_dir
@@ -157,28 +159,61 @@ def cmd_run(args) -> int:
         if tag is None:
             print(f"no checkpoint found in {ckdir!r}", file=sys.stderr)
             return 2
+        # peek at the meta to learn the checkpoint's structure before
+        # building the validation template (sample-phase checkpoints of
+        # full_rhat runs carry the streaming accumulators too)
+        import os
+
+        with open(os.path.join(ckdir, f"meta_{tag}.json")) as f:
+            has_acc = json.load(f).get("has_acc", False)
         template = init_kernel_state(
             model, cfg, jax.random.key(cfg.run.seed), data
         )
-        init_state, meta = load_checkpoint(ckdir, tag, template)
+        if has_acc:
+            from functools import partial
+
+            from nestmc.diagnostics import (
+                fold_rhat_init,
+                streaming_rhat_init,
+            )
+            from nestmc.kernels.gibbs import rhat_fold_names
+
+            fold_names = rhat_fold_names(model, cfg)
+            std_pos = {
+                k: v for k, v in template.position.items()
+                if k not in fold_names
+            }
+            acc_t = (
+                jax.jit(streaming_rhat_init)(std_pos),
+                jax.jit(partial(fold_rhat_init, names=fold_names))(
+                    template.position
+                ),
+            )
+            template = {"state": template, "acc": acc_t}
+        loaded, meta = load_checkpoint(ckdir, tag, template)
+        if has_acc:
+            init_state, init_acc = loaded["state"], loaded["acc"]
+        else:
+            init_state = loaded
         skip_warmup = meta.get("phase") == "sample"
         print(f"resuming from {tag} (phase={meta.get('phase')})",
               file=sys.stderr)
         if skip_warmup:
-            # Only the carry is checkpointed — draws collected before the
-            # crash are not retained — but the total draw budget must not
-            # silently grow: run only the remainder of cfg.run.draws.
+            # Draws collected before the crash are not retained, but the
+            # total draw budget must not silently grow: the engine runs
+            # only the remainder of cfg.run.draws (draws_offset keeps the
+            # streamed accumulators' draw indexing aligned with the FULL
+            # schedule, so a resumed gated run still certifies its
+            # all-param gate — VERDICT r4 item 7).
             done = int(meta.get("draws_done", 0))
             if done:
+                draws_offset = done
                 remaining = max(cfg.run.draws - done, 0)
                 print(
                     f"resume: checkpoint holds {done} sampled draws; "
                     f"running the remaining {remaining} of "
                     f"{cfg.run.draws} (pre-crash draws are not retained)",
                     file=sys.stderr,
-                )
-                cfg = dataclasses.replace(
-                    cfg, run=dataclasses.replace(cfg.run, draws=remaining)
                 )
 
     profile_ctx = None
@@ -190,6 +225,7 @@ def cmd_run(args) -> int:
     post = sample(
         model, data, cfg,
         init_state=init_state, skip_warmup=skip_warmup,
+        init_acc=init_acc, draws_offset=draws_offset,
     )
     wall = time.perf_counter() - t0
 

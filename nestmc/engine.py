@@ -229,12 +229,19 @@ def sample(
     init_position: dict | None = None,
     init_state: KernelState | None = None,
     skip_warmup: bool = False,
+    init_acc=None,
+    draws_offset: int = 0,
 ) -> Posterior:
     """Run the sampler end to end; returns a :class:`Posterior`.
 
     ``init_state`` (e.g. a loaded checkpoint carry) overrides fresh
     initialization; ``skip_warmup`` resumes directly in the sampling phase
-    with whatever scales the carry holds.
+    with whatever scales the carry holds. ``init_acc`` + ``draws_offset``
+    resume a full_rhat run mid-schedule (VERDICT r4 item 7): the loaded
+    streaming R-hat/ESS accumulators continue from retained draw
+    ``draws_offset``, so a crashed gated run still certifies its all-param
+    gate over the FULL schedule — ``cfg.run.draws`` stays the total
+    budget and only the remainder is executed.
     """
     cfg = cfg or SamplerConfig()
     rc = cfg.run
@@ -302,21 +309,30 @@ def sample(
     acc = None
     fold_names = ()
     if rc.full_rhat and rc.draws > 0:
-        from nestmc.diagnostics import fold_rhat_init, streaming_rhat_init
-        from nestmc.kernels.gibbs import rhat_fold_names
+        if init_acc is not None:
+            # resumed accumulators: continue the gate over the FULL
+            # schedule (pre-crash draws already folded in)
+            acc = init_acc
+        else:
+            from nestmc.diagnostics import (
+                fold_rhat_init,
+                streaming_rhat_init,
+            )
+            from nestmc.kernels.gibbs import rhat_fold_names
 
-        fold_names = rhat_fold_names(model, cfg)
-        # build inside jit from the sharded position so the accumulators
-        # inherit the chain-axis sharding
-        std_pos = {
-            k: v for k, v in state.position.items() if k not in fold_names
-        }
-        acc = (
-            jax.jit(streaming_rhat_init)(std_pos),
-            jax.jit(partial(fold_rhat_init, names=fold_names))(
-                state.position
-            ),
-        )
+            fold_names = rhat_fold_names(model, cfg)
+            # build inside jit from the sharded position so the
+            # accumulators inherit the chain-axis sharding
+            std_pos = {
+                k: v for k, v in state.position.items()
+                if k not in fold_names
+            }
+            acc = (
+                jax.jit(streaming_rhat_init)(std_pos),
+                jax.jit(partial(fold_rhat_init, names=fold_names))(
+                    state.position
+                ),
+            )
 
     def _run_segment(state, acc, L, offset):
         if acc is None:
@@ -327,9 +343,10 @@ def sample(
         )
         return state, acc, seg_draws
 
+    remaining = max(rc.draws - draws_offset, 0)
     t_c = time.perf_counter()
-    if rc.draws > 0:
-        seg0 = min(rc.segment_size, rc.draws)
+    if remaining > 0:
+        seg0 = min(rc.segment_size, remaining)
         if acc is None:
             _ = with_transient_retry(
                 lambda: sample_segment.lower(
@@ -346,15 +363,15 @@ def sample(
 
     segments = []
     t_s = time.perf_counter()
-    drawn = 0
-    for i, L in enumerate(_segment_lengths(rc.draws, rc.segment_size)):
+    drawn = draws_offset
+    for i, L in enumerate(_segment_lengths(remaining, rc.segment_size)):
         with jax.profiler.TraceAnnotation(f"nestmc.sample.seg{i}"):
             state, acc, seg_draws = _run_segment(state, acc, L, drawn)
         segments.append(seg_draws)
         drawn += L
         int(state.t)  # hard sync via host read (see warmup note)
         if rc.log_every_segment:
-            rate = drawn * max(1, rc.thin) / max(
+            rate = (drawn - draws_offset) * max(1, rc.thin) / max(
                 time.perf_counter() - t_s, 1e-9
             )
             extra = ""
@@ -371,7 +388,16 @@ def sample(
                 extra = f", worst split-rhat so far {float(worst):.4f}"
             log.info("sample: %d/%d draws (%.0f sweeps/s)%s",
                      drawn, rc.draws, rate, extra)
-        _maybe_checkpoint(cfg, state, "sample", i, {"draws_done": drawn})
+        # sample-phase checkpoints carry the streaming R-hat/ESS
+        # accumulators alongside the kernel carry (VERDICT r4 item 7), so
+        # a resumed gated run certifies its all-param gate over the FULL
+        # schedule, not just its post-resume draws. (Retained draws are
+        # still not checkpointed — only the remainder is re-collected.)
+        ck = state if acc is None else {"state": state, "acc": acc}
+        _maybe_checkpoint(
+            cfg, ck, "sample", i + draws_offset // max(rc.segment_size, 1),
+            {"draws_done": drawn, "has_acc": acc is not None},
+        )
     if segments:
         draws = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=1), *segments
@@ -382,11 +408,14 @@ def sample(
     timings["sample_s"] = time.perf_counter() - t_s
 
     full_rhat_map = None
+    full_ess_map = None
     if acc is not None:
         from nestmc.diagnostics import (
+            fold_ess_finalize,
             fold_rhat_finalize,
             fold_rhat_scalars,
             fold_rhat_update,
+            streaming_ess_finalize,
             streaming_rhat_finalize,
         )
 
@@ -414,13 +443,19 @@ def sample(
                 return out
 
             fold_a = _flush(fold_a, state.position)
-        full_rhat_map = jax.jit(
-            lambda s, f: {
-                **streaming_rhat_finalize(s), **fold_rhat_finalize(f)
-            }
+        # one finalize program: the classic split R-hat gate AND the
+        # cross-chain mean-functional ESS (+ chi^2 lower bound) over every
+        # unit of every block, both read off the same accumulators
+        # (VERDICT r4 item 5 — all-param min-ESS is measured, not
+        # extrapolated from collected/sampled scalars)
+        full_rhat_map, full_ess_map = jax.jit(
+            lambda s, f: (
+                {**streaming_rhat_finalize(s), **fold_rhat_finalize(f)},
+                {**streaming_ess_finalize(s), **fold_ess_finalize(f)},
+            )
         )(std_a, fold_a)
 
-    total_sample_sweeps = rc.draws * max(1, rc.thin)
+    total_sample_sweeps = remaining * max(1, rc.thin)
     post = Posterior(
         draws=draws,
         accept_rates=_accept_rates(state, total_sample_sweeps),
@@ -428,6 +463,7 @@ def sample(
         config=cfg.to_dict(),
         timings=timings,
         full_rhat=full_rhat_map,
+        full_ess=full_ess_map,
     )
     post.final_state = state  # expose the carry for resume/inspection
     return post

@@ -37,6 +37,12 @@ class Posterior:
     # full_rhat: {block: classic split R-hat over EVERY unit} streamed by
     # the engine when RunConfig.full_rhat is set — covers blocks whose
     # draws were not retained.
+    full_ess: dict | None = None
+    # full_ess: {block: {"ess", "ess_lb"}} cross-chain mean-functional ESS
+    # (+ one-sided 95% lower confidence bound) over EVERY unit of every
+    # block, from the same streamed accumulators (diagnostics.py
+    # streaming_ess_finalize; conventions/caveats documented there). With
+    # full_rhat_thin=k this reads the thinned subsequence — conservative.
     _diag_cache: dict | None = None
 
     def diagnostics(self) -> dict:
@@ -100,6 +106,33 @@ class Posterior:
                         int(i) for i in np.unravel_index(idx, e.shape)
                     ),
                     "ess": val,
+                }
+        return best
+
+    def min_ess_all_params(self) -> dict | None:
+        """The measured ESS floor over ALL parameters (VERDICT r4 item 5).
+
+        Uses the engine's streamed cross-chain ESS accumulators (present
+        when RunConfig.full_rhat was set), which cover every unit of every
+        block — including draws never retained. Returns {'block', 'index',
+        'ess', 'ess_lb'} at the argmin of the point estimate, where
+        'ess_lb' is the one-sided 95% lower confidence bound for that
+        scalar. None when full_ess was not streamed."""
+        if not self.full_ess:
+            return None
+        best = None
+        for name, stats in self.full_ess.items():
+            e = np.asarray(stats["ess"])
+            idx = int(np.argmin(e))
+            val = float(e.ravel()[idx])
+            if best is None or val < best["ess"]:
+                best = {
+                    "block": name,
+                    "index": tuple(
+                        int(i) for i in np.unravel_index(idx, e.shape)
+                    ),
+                    "ess": val,
+                    "ess_lb": float(np.asarray(stats["ess_lb"]).ravel()[idx]),
                 }
         return best
 
