@@ -98,17 +98,8 @@ def test_is_primary_single_host():
     assert multihost.is_primary() is True
 
 
-def test_two_process_distributed_sample():
-    """REAL jax.distributed execution: 2 processes x 4 CPU devices.
-
-    Each subprocess runs tests/_multihost_worker.py: initialize() via the
-    NESTMC_* env vars, sample 8-schools with chains sharded over the
-    global 8-device mesh (4 chains' worth of shards per process), reduce
-    moments across processes, print them. Both processes must agree
-    (replicated reduction), and the moments must match an in-process
-    single-mesh run with the same seed (per-chain counter-based seeding
-    makes draws sharding-invariant; only reduction order differs).
-    """
+def _spawn_two_process(mode: str):
+    """Spawn 2 real jax.distributed worker processes; return their results."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(repo, "tests", "_multihost_worker.py")
     with socket.socket() as s:  # free port (small race, acceptable)
@@ -129,6 +120,7 @@ def test_two_process_distributed_sample():
             "NESTMC_COORDINATOR_ADDRESS": f"localhost:{port}",
             "NESTMC_NUM_PROCESSES": "2",
             "NESTMC_PROCESS_ID": str(pid),
+            "NESTMC_WORKER_MODE": mode,
         }
         procs.append(subprocess.Popen(
             [sys.executable, worker], env=env, cwd=repo,
@@ -149,6 +141,21 @@ def test_two_process_distributed_sample():
         ]
         assert lines, f"no result line:\n{out[-800:]}\n{err[-800:]}"
         outs.append(json.loads(lines[-1][len("MULTIHOST_RESULT "):]))
+    return outs
+
+
+def test_two_process_distributed_sample():
+    """REAL jax.distributed execution: 2 processes x 4 CPU devices.
+
+    Each subprocess runs tests/_multihost_worker.py: initialize() via the
+    NESTMC_* env vars, sample 8-schools with chains sharded over the
+    global 8-device mesh (4 chains' worth of shards per process), reduce
+    moments across processes, print them. Both processes must agree
+    (replicated reduction), and the moments must match an in-process
+    single-mesh run with the same seed (per-chain counter-based seeding
+    makes draws sharding-invariant; only reduction order differs).
+    """
+    outs = _spawn_two_process("chains")
 
     assert {o["process_index"] for o in outs} == {0, 1}
     for o in outs:
@@ -184,6 +191,55 @@ def test_two_process_distributed_sample():
     for k, v in ref.items():
         # draws are bitwise sharding-invariant (per-chain seeding); the
         # only difference is f32 reduction order across the mesh
+        assert outs[0][k] == pytest.approx(v, rel=1e-4, abs=1e-5), (
+            k, outs[0][k], v
+        )
+
+
+def test_two_process_group_axis_psum():
+    """The design's ONE hot-loop collective crosses a process boundary
+    (VERDICT r4 item 6 / Missing #3).
+
+    hier_logistic's conjugate mu/tau draws reduce the hyper sufficient
+    statistics over ALL groups every sweep; with the groups mesh axis
+    spanning the 2-process x 4-device topology (group_shards=8), XLA
+    places that psum on the cross-process (DCN-analog) path for every one
+    of the 80 sweeps. Moments must match a single-process UNSHARDED run
+    with the same seed (per-chain counter-based seeding makes draws
+    sharding-invariant; only f32 reduction order differs).
+    """
+    outs = _spawn_two_process("groups")
+
+    assert {o["process_index"] for o in outs} == {0, 1}
+    for o in outs:
+        assert o["process_count"] == 2
+        assert o["device_count"] == 8
+    # replicated reduction: both processes see identical moments
+    for k in ("mu_mean", "mu_var", "log_tau_mean", "log_tau_var"):
+        assert outs[0][k] == pytest.approx(outs[1][k], rel=1e-6)
+
+    # single-process unsharded ground truth, same seed/schedule/data
+    import jax.numpy as jnp
+
+    from nestmc.config import RunConfig, SamplerConfig
+    from nestmc.engine import sample
+    from nestmc.models import make_hier_logistic, synth_logistic
+
+    data, _ = synth_logistic(jax.random.key(9), G=64, n=12, p=3)
+    model = make_hier_logistic(data)
+    cfg = SamplerConfig(run=RunConfig(
+        chains=8, warmup=30, draws=50, seed=7, segment_size=50,
+        log_every_segment=False,
+        collect={"mu": None, "log_tau": None},
+    ))
+    post = sample(model, data, cfg)
+    ref = {
+        "mu_mean": float(jnp.mean(post.draws["mu"])),
+        "mu_var": float(jnp.var(post.draws["mu"])),
+        "log_tau_mean": float(jnp.mean(post.draws["log_tau"])),
+        "log_tau_var": float(jnp.var(post.draws["log_tau"])),
+    }
+    for k, v in ref.items():
         assert outs[0][k] == pytest.approx(v, rel=1e-4, abs=1e-5), (
             k, outs[0][k], v
         )
