@@ -266,6 +266,9 @@ def cmd_run(args) -> int:
             "unit": "ESS/s/chip",
             "total_ess": total_ess,
             "min_ess": post.min_ess(),
+            # measured over ALL params (streamed cross-chain estimator);
+            # None unless the run streamed full_rhat
+            "min_ess_all_params": post.min_ess_all_params(),
             "worst_rhat": post.worst_rhat(),
             "sample_s": sample_s,
             "timings": post.timings,

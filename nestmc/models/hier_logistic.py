@@ -58,8 +58,11 @@ def _resolve_loglik(data, impl: str):
         )
 
         # static at model build: fully-dense data lets the kernels skip
-        # the per-element mask multiplies (they are VPU-bound)
-        dense = bool(np.asarray(data.mask).all())
+        # the per-element mask multiplies (they are VPU-bound). The test
+        # must be mask == 1 exactly, not truthiness: the binomial
+        # delegation (models/hier_glm.py) passes TRIALS-weighted masks
+        # whose values are multiplicative likelihood weights.
+        dense = bool(np.all(np.asarray(data.mask) == 1.0))
 
         def lik(beta, data):
             return logistic_loglik_padded_pallas(
@@ -152,7 +155,9 @@ def make_hier_logistic(
     else:
         import numpy as np
 
-        _dense_data = bool(np.asarray(data.mask).all())
+        # mask == 1 exactly (see _resolve_loglik): weight-masks must keep
+        # their per-element multiplies
+        _dense_data = bool(np.all(np.asarray(data.mask) == 1.0))
 
     _LOG_2PI = 1.8378770664093453
 

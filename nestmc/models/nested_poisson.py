@@ -248,7 +248,7 @@ def make_nested_poisson(
     # static density flag from the CONCRETE build-time data: dense rows let
     # the fused kernels skip the per-element mask multiplies (the padded
     # subject rows are still gated on the summed outputs)
-    _dense_data = bool(np.asarray(data.mask).all())
+    _dense_data = bool(np.all(np.asarray(data.mask) == 1.0))
 
     def _bgs(position, data_):
         return jnp.take(position["beta_g"], data_.subject_group, axis=1)
