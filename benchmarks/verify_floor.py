@@ -165,18 +165,21 @@ def main() -> int:
 
     # ---- 2. classic vs rank-normalized+folded R-hat on the same draws ----
     # Chunk over scalars: rank normalization sorts the pooled (C*D) draws
-    # per scalar, and take_along_axis on the full (1024, 4096, 64, 4)
-    # judged beta array OOMs the chip — 16 scalars at a time is ~260 MB
-    # peak and produces identical per-scalar statistics.
+    # per scalar and costs ~24 f32 copies of a (C, D) buffer per scalar in
+    # eager temporaries, so the chunk is sized to a ~2 GB budget from the
+    # run's actual (C, D) — the former fixed 16-scalar chunk OOM'd the
+    # chip at config 3's 512 x 16384 schedule.
     stats = {}
     worst_delta = 0.0
     for name, x in post.draws.items():
         arr = np.asarray(x)
         C, D = arr.shape[:2]
+        per_scalar = 24 * C * D * 4
+        csize = max(1, int((2 << 30) // per_scalar))
         flat = arr.reshape(C, D, -1)
         classic_parts, ranknorm_parts = [], []
-        for s in range(0, flat.shape[-1], 16):
-            chunk = jnp.asarray(flat[:, :, s:s + 16])
+        for s in range(0, flat.shape[-1], csize):
+            chunk = jnp.asarray(flat[:, :, s:s + csize])
             classic_parts.append(np.asarray(split_rhat(chunk)))
             ranknorm_parts.append(np.asarray(rhat(chunk)))
         classic = np.concatenate(classic_parts)
