@@ -21,6 +21,7 @@ run() {
   echo "=== $name EXIT $? $(date -u +%FT%TZ)" >> "$LOG/queue.log"
 }
 
+run vf-c3-retry   $P -m benchmarks.verify_floor --preset nested-poisson-1k --sample-groups 16
 run c5-newton-8192 $P -m benchmarks.run --preset mala-100k-newton --draws 8192 --out benchmarks/results
 run bench-judged   $P bench.py
 run glm-ab         $P -m benchmarks.glm_ab
