@@ -123,6 +123,13 @@ def main() -> int:
         }
         collect[b.name] = idx
     cfg = override_run(cfg, collect=collect)
+    if not cfg.run.full_rhat:
+        # force full-R-hat streaming so the MEASURED all-param ESS floor
+        # (posterior.min_ess_all_params) exists even for presets that do
+        # not bake it (configs 3/4); thin=4 matches the config-5
+        # convention and keeps the jnp Welford traffic ~1/4 (the thinned-
+        # subsequence ESS is conservative — streaming_ess_finalize doc).
+        cfg = override_run(cfg, full_rhat=True, full_rhat_thin=4)
 
     t0 = time.perf_counter()
     post = sample(model, data, cfg)
