@@ -2,17 +2,20 @@
 (VERDICT r4 item 8 "Done" criterion: a measured statement of what the
 jnp path costs vs the fused stack at a representative shape).
 
-Runs make_hier_glm(family='binomial') twice at a judged-like shape
-(G=1000, n=50, p=4, trials=10) with identical schedules:
+Runs make_hier_glm twice at a judged-like shape (G=1000, n=50, p=4,
+trials=10 for binomial) with identical schedules:
 
-  arm 'fused': the round-5 delegation — hier_logistic's single-kernel
-      Pallas steps via exact trials-reweighting (models/hier_glm.py
-      _make_logistic_delegate)
+  arm 'fused': the round-5 kernel routing — binomial/bernoulli delegate
+      to hier_logistic's single-kernel Pallas steps via exact
+      trials-reweighting (models/hier_glm.py _make_logistic_delegate);
+      poisson wires the nested_poisson fused steps directly
+      (bg_s = broadcast(mu))
   arm 'plain': fused=False — the generic op-by-op jnp path every
-      non-delegated family (gaussian/poisson/negbin) runs
+      non-kernel family (gaussian/negbin) runs
 
     /opt/venv/bin/python -m benchmarks.glm_ab [--chains 1024]
-        [--algorithm newton] [--out benchmarks/results]
+        [--family binomial|poisson] [--algorithm newton]
+        [--out benchmarks/results]
 """
 
 from __future__ import annotations
@@ -32,6 +35,9 @@ def main() -> int:
     ap.add_argument(
         "--algorithm", default="newton", choices=["rwmh", "mala", "newton"]
     )
+    ap.add_argument(
+        "--family", default="binomial", choices=["binomial", "poisson"]
+    )
     ap.add_argument("--out", default="benchmarks/results")
     args = ap.parse_args()
 
@@ -42,7 +48,8 @@ def main() -> int:
     from nestmc.models.hier_glm import make_hier_glm, synth_glm
 
     data, _ = synth_glm(
-        jax.random.key(77), family="binomial", G=1000, n=50, p=4, trials=10
+        jax.random.key(77), family=args.family, G=1000, n=50, p=4,
+        trials=10,
     )
     cfg = SamplerConfig(
         kernel=KernelConfig(algorithm=args.algorithm, fused_accept=True),
@@ -57,7 +64,7 @@ def main() -> int:
     results = {}
     for arm, fused in (("fused", True), ("plain", False)):
         model = make_hier_glm(
-            data, family="binomial", tau_prior="invgamma", fused=fused
+            data, family=args.family, tau_prior="invgamma", fused=fused
         )
         t0 = time.perf_counter()
         post = sample(model, data, cfg)
@@ -91,9 +98,10 @@ def main() -> int:
         ),
     }
     out = {
-        "shape": {"G": 1000, "n": 50, "p": 4, "trials": 10,
-                  "chains": args.chains, "warmup": args.warmup,
-                  "draws": args.draws, "algorithm": args.algorithm},
+        "shape": {"family": args.family, "G": 1000, "n": 50, "p": 4,
+                  "trials": 10, "chains": args.chains,
+                  "warmup": args.warmup, "draws": args.draws,
+                  "algorithm": args.algorithm},
         **results,
     }
     print(json.dumps(out, indent=2, default=str))
@@ -105,7 +113,8 @@ def main() -> int:
         ).stdout.strip() or "nogit"
         path = os.path.join(
             args.out,
-            f"glm-ab_{git}_{time.strftime('%Y%m%d_%H%M%S')}.json",
+            f"glm-ab-{args.family}_{git}_"
+            f"{time.strftime('%Y%m%d_%H%M%S')}.json",
         )
         with open(path, "w") as fh:
             json.dump(out, fh, indent=2, default=str)

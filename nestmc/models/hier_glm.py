@@ -17,6 +17,10 @@ Families:
                the full Pallas/fused surface.
   'poisson':   y ~ Poisson(exp(eta)) — 2-level counts (the 3-level variant
                with its conjugate draws is models.make_nested_poisson).
+               TPU path: runs the nested_poisson fused single-kernel
+               RW/MALA/Newton steps directly (the 2-level model is the
+               subject block with prior mean mu; ops/pallas/
+               poisson_accept.py).
   'negbin':    y ~ NegBin(mean=exp(eta), concentration r) — overdispersed
                counts; r sampled as a population block log_r that enters
                the likelihood (gamma-Poisson mixture parameterization).
@@ -66,9 +70,12 @@ def make_hier_glm(
     fused (default True): route the bernoulli/binomial families through
     the hier_logistic Pallas/fused-kernel stack (VERDICT r4 item 8) —
     bernoulli is literally the same model; binomial reduces to it EXACTLY
-    by data reweighting (see _make_logistic_delegate). fused=False keeps
-    the generic jnp op-by-op path (the A/B reference; gaussian/poisson/
-    negbin always run it)."""
+    by data reweighting (see _make_logistic_delegate) — and wire the
+    poisson family's beta block to the nested_poisson fused single-kernel
+    steps (the 2-level model is the subject block with prior mean mu).
+    fused=False keeps the generic jnp op-by-op path (the A/B reference;
+    gaussian/negbin always run it — their likelihoods read an aux
+    block)."""
     G = data.num_groups
     p = data.num_covariates
     gaussian = family == "gaussian"
@@ -292,6 +299,97 @@ def make_hier_glm(
         _cond_cached = {}
         _cond_cached_grad = {}
         _cond_cached_newton = {"beta": (_zero_self_vgh, _full_rest_vgh)}
+
+    # ---- poisson: single-kernel fused steps (VERDICT r4 item 8, round-5
+    # completion). The 2-level model IS the nested_poisson subject block
+    # with the per-subject prior mean specialized to the shared mu, so the
+    # SAME Pallas kernels (ops/pallas/poisson_accept.py, exact-parity
+    # tested in tests/test_poisson_fused.py) serve the generic surface:
+    # bg_s = broadcast(mu), log_tau_s = log_tau. gaussian/negbin stay jnp
+    # (their likelihoods read an aux block the kernels don't carry).
+    _pois_fused = (
+        fused and family == "poisson" and isinstance(data, NestedData)
+    )
+    if _pois_fused:
+        import numpy as _np
+
+        _dense_data = bool(_np.all(_np.asarray(data.mask) == 1.0))
+
+        def _mu_bg(position):
+            return jnp.broadcast_to(
+                position["mu"][:, None, :], position["beta"].shape
+            )
+
+        def fused_beta_update(key, position, cache, log_scale, data_,
+                              noise=None):
+            """Single-kernel RW-MH beta update (propose + Poisson obs pass
+            + prior delta + accept + select in ONE kernel). noise:
+            external (eps, logu) operands for the exact-parity tests."""
+            from nestmc.ops.pallas.poisson_accept import (
+                fused_rwmh_poisson_step,
+            )
+
+            lik_cache = cache.get("beta")
+            if lik_cache is None:
+                lik_cache = lik_self_v(position["beta"], data_)
+            return fused_rwmh_poisson_step(
+                key, position["beta"], lik_cache, log_scale,
+                _mu_bg(position), position["log_tau"],
+                data_.x, data_.y, data_.mask, gammaln(data_.y + 1.0),
+                dense=_dense_data, noise=noise,
+            )
+
+        def fused_mala_beta_update(key, position, cache, log_scale, data_,
+                                   noise=None):
+            """Single-kernel MALA beta update (propose + logp+grad obs
+            pass + correction + accept + cache refresh in one kernel)."""
+            from nestmc.ops.pallas.poisson_accept import (
+                fused_mala_poisson_step,
+            )
+
+            c = cache.get("beta")
+            if isinstance(c, dict):
+                v, g = c["v"], c["g"]
+            else:
+                v, g = lik_self_vg(position["beta"], data_)
+            nb, nv, ng, alpha = fused_mala_poisson_step(
+                key, position["beta"], v, g, log_scale,
+                _mu_bg(position), position["log_tau"],
+                data_.x, data_.y, data_.mask, gammaln(data_.y + 1.0),
+                dense=_dense_data, noise=noise,
+            )
+            return nb, {"v": nv, "g": ng}, alpha
+
+        def fused_newton_beta_update(key, position, cache, log_scale,
+                                     data_, frozen=False, noise=None):
+            """Single-kernel Newton-MH beta update (Laplace propose via
+            in-register packed Cholesky + logp/grad/Hess obs pass + full
+            correction + accept). frozen: constant metric, obs pass at
+            MALA cost (KernelConfig.newton_freeze sampling phase)."""
+            from nestmc.ops.pallas.poisson_accept import (
+                fused_newton_poisson_step,
+            )
+
+            c = cache.get("beta")
+            if isinstance(c, dict) and "h" in c:
+                v, g, h = c["v"], c["g"], c["h"]
+            else:
+                v, g, h = lik_self_vgh(position["beta"], data_)
+            nb, nv, ng, nh, alpha = fused_newton_poisson_step(
+                key, position["beta"], v, g, h, log_scale,
+                _mu_bg(position), position["log_tau"],
+                data_.x, data_.y, data_.mask, gammaln(data_.y + 1.0),
+                dense=_dense_data, frozen=frozen, noise=noise,
+            )
+            return nb, {"v": nv, "g": ng, "h": nh}, alpha
+
+        _fused_updates = {"beta": fused_beta_update}
+        _fused_updates_mala = {"beta": fused_mala_beta_update}
+        _fused_updates_newton = {"beta": fused_newton_beta_update}
+    else:
+        _fused_updates = {}
+        _fused_updates_mala = {}
+        _fused_updates_newton = {}
 
     def _suff(beta):
         return jnp.sum(beta, axis=1), jnp.sum(beta**2, axis=1)
@@ -537,6 +635,9 @@ def make_hier_glm(
         cond_cached=_cond_cached,
         cond_cached_grad=_cond_cached_grad,
         cond_cached_newton=_cond_cached_newton,
+        fused_updates=_fused_updates,
+        fused_updates_mala=_fused_updates_mala,
+        fused_updates_newton=_fused_updates_newton,
         prior_sample=prior_sample,
         sample_data=sample_data,
         gibbs_draws={
