@@ -317,7 +317,15 @@ def _mala_100k_newton(seed: int, scale: float):
     Newton's extra tau-conditional likelihood passes cost floor mixing
     at G=100k. Per DESIGN.md §5a, Newton is NOT "MALA" (BASELINE.json:11
     pin), so `mala-100k` (MALA) stays the default and this ships as the
-    sum-convention-optimal variant."""
+    sum-convention-optimal variant.
+
+    Round-5 settlement: at MALA's inherited 1500/4096 schedule the
+    all-param gate FAILS (1.0143, `mala-100k-newton_3102ff0`) — a tail
+    beta group under the frozen metric needs more draws. 1500/8192
+    PASSES (1.0073) at 96.1k/s sum (`mala-100k-newton_1ab8957_091214`),
+    so 8192 is the baked schedule: the preset reproduces a CONVERGED
+    artifact. Trade-off vs the default, both converged: +41% sum,
+    all-param floor 84/s vs MALA's 518/s (6.2x)."""
     _, data, cfg = _mala_100k(seed, scale)
     model = make_hier_logistic(data, tau_prior="invgamma")
     return model, data, dataclasses.replace(
@@ -330,7 +338,9 @@ def _mala_100k_newton(seed: int, scale: float):
         # restarted"); every ≤48 s execution succeeded, and the same
         # 500-sweep warmup split into two 250-sweep segments ran clean.
         # Keep per-segment wall time under ~45 s on this tunnel.
-        run=dataclasses.replace(cfg.run, segment_size=256),
+        # draws 8192: the smallest schedule that passes the all-param
+        # gate under frozen Newton at G=100k (see docstring).
+        run=dataclasses.replace(cfg.run, segment_size=256, draws=8192),
     )
 
 
