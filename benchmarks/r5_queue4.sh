@@ -4,6 +4,10 @@
 #   glm-ab-poisson   price the round-5 poisson fused wiring vs the jnp
 #                    path (glm_ab --family poisson), like the binomial
 #                    delegation A/B
+#   vf-c2            config-2 floor coverage: the ladder's last
+#                    collected-scalar-only floor (166.2k/s) gets the
+#                    measured all-param streaming floor + sampled-beta
+#                    protocol (fast config; seconds of sampling)
 cd /root/repo || exit 1
 P=/opt/venv/bin/python
 LOG=benchmarks/results/r5_logs
@@ -21,4 +25,5 @@ run() {
 }
 
 run glm-ab-poisson $P -m benchmarks.glm_ab --family poisson
+run vf-c2          $P -m benchmarks.verify_floor --preset hier-logistic-100
 echo "=== QUEUE4 DONE $(date -u +%FT%TZ)" >> "$LOG/queue.log"
